@@ -1,0 +1,86 @@
+"""Framework configuration.
+
+Keeps the reference's request-visible defaults identical
+(reference: backend/app/config.py:56-60 — DPI 150, start_page 1, top_k 8,
+max_chars_per_page 1500; scripts default DPI 200,
+scripts/extract_pdf_with_gemini.py:271) while replacing the external-API
+configuration (Gemini/Supermemory keys, reference config.py:23-33) with
+on-device model/mesh configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Optional
+
+from .utils.env import load_env_chain
+
+load_env_chain()
+
+# ---------------------------------------------------------------------------
+# Request-surface defaults (identical to the reference API surface).
+# ---------------------------------------------------------------------------
+DEFAULT_DPI = 150            # backend default (reference config.py:57)
+SCRIPTS_DEFAULT_DPI = 200    # CLI default (reference extract_pdf_with_gemini.py:271)
+DEFAULT_START_PAGE = 1
+DEFAULT_TOP_K = 8
+DEFAULT_MAX_CHARS_PER_PAGE = 1500
+EXCERPT_CHARS = 250          # retrieved-page excerpt length (reference qa.py:289)
+TRUNCATION_MARKER = "... [truncated]"
+
+# Answer-generation budget (reference config.py:26-28).
+MAX_OUTPUT_TOKENS_EXTRACTION = 2048
+MAX_OUTPUT_TOKENS_ANSWERING = 8192
+GENERATION_TEMPERATURE = 0.0
+
+# The extraction instruction retained for provenance in artifacts; the
+# on-device VLM is structurally constrained to this schema rather than
+# prompted (reference config.py:44-54 used prompting).
+EXTRACTION_SCHEMA_KEYS = ("page_number", "markdown", "entities", "summary")
+
+# ---------------------------------------------------------------------------
+# On-device configuration (replaces the reference's cloud-API config).
+# ---------------------------------------------------------------------------
+
+def _env_str(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Process-wide runtime knobs, overridable via environment."""
+
+    # Extraction engine: "auto" (text layer if present, else vlm), "text", "vlm".
+    extract_engine: str = _env_str("VCP_EXTRACT_ENGINE", "auto")
+    # Answering engine: "auto" (extractive compose; LM if weights loaded), "extractive", "lm".
+    answer_engine: str = _env_str("VCP_ANSWER_ENGINE", "auto")
+    # Embedding backend: "hash" (deterministic hashed n-gram projection) or "neural".
+    embed_backend: str = _env_str("VCP_EMBED_BACKEND", "hash")
+    embed_dim: int = _env_int("VCP_EMBED_DIM", 512)
+    # Model preset name (see models/configs.py).
+    model_preset: str = _env_str("VCP_MODEL_PRESET", "tiny")
+    # Optional checkpoint directory for trained weights.
+    checkpoint_dir: Optional[str] = os.environ.get("VCP_CHECKPOINT_DIR")
+    # Device batch size for page extraction / embedding.
+    extract_batch_size: int = _env_int("VCP_EXTRACT_BATCH", 8)
+    embed_batch_size: int = _env_int("VCP_EMBED_BATCH", 32)
+    # Mesh axis sizes; 0 = infer from available devices (all -> data).
+    mesh_data: int = _env_int("VCP_MESH_DATA", 0)
+    mesh_model: int = _env_int("VCP_MESH_MODEL", 1)
+    # Index storage root (replaces the Supermemory cloud index).
+    index_root: str = _env_str("VCP_INDEX_ROOT", "tmp/_index")
+
+
+RUNTIME = RuntimeConfig()
+
+# Base directory for the service's per-document artifacts (reference main.py:46).
+BASE_TMP_DIR = Path(os.environ.get("VCP_TMP_DIR", "tmp"))

@@ -1,0 +1,76 @@
+"""Logical-axis sharding rules and helpers.
+
+Parameters and activations are annotated with *logical* axis names (via
+`flax.linen.with_partitioning` / `with_logical_constraint`); the rules table
+below maps logical names onto the physical mesh axes from `mesh.py`.  This is
+the scaling-book recipe: pick a mesh, annotate shardings, let XLA insert the
+collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import AXIS_DATA, AXIS_EXPERT, AXIS_MODEL, AXIS_SEQ
+
+# logical axis -> mesh axis (None = replicated).
+LOGICAL_RULES = (
+    ("batch", AXIS_DATA),          # page/example batch
+    ("seq", AXIS_SEQ),             # activation sequence (SP/CP)
+    ("embed", None),               # residual stream: replicated
+    ("heads", AXIS_MODEL),         # attention heads (TP)
+    ("kv_heads", AXIS_MODEL),
+    ("head_dim", None),
+    ("mlp", AXIS_MODEL),           # FFN hidden (TP)
+    ("vocab", AXIS_MODEL),         # embedding/unembedding vocab shard (TP)
+    ("expert", AXIS_EXPERT),       # MoE experts (EP)
+    ("patch", None),
+    ("index_rows", AXIS_DATA),     # vector-index rows shard over data axis
+    ("index_dim", None),
+)
+
+
+def logical_sharding(
+    logical_axes: Sequence[Optional[str]], mesh: Mesh
+) -> NamedSharding:
+    """NamedSharding for an array whose dims carry the given logical names."""
+    spec = nn.logical_to_mesh_axes(tuple(logical_axes), rules=LOGICAL_RULES)
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Device_put a Flax param pytree according to its logical annotations.
+
+    Params created under `nn.with_partitioning` carry `nn.Partitioned`
+    metadata; everything unannotated is replicated.
+    """
+    spec_tree = nn.get_partition_spec(params)
+    spec_tree = nn.logical_to_mesh(spec_tree, rules=LOGICAL_RULES)
+
+    def _put(x, spec):
+        if not isinstance(spec, P):
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    leaves = jax.tree_util.tree_map(
+        _put, nn.meta.unbox(params), spec_tree, is_leaf=lambda x: x is None
+    )
+    return leaves
+
+
+def data_sharding(mesh: Mesh, *trailing: Optional[str]) -> NamedSharding:
+    """Batch-sharded over the data axis; trailing dims as given mesh axes."""
+    return NamedSharding(mesh, P(AXIS_DATA, *trailing))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def constrain(x, logical_axes: Sequence[Optional[str]]):
+    """`with_logical_constraint` under the active mesh & rules (no-op outside)."""
+    return nn.with_logical_constraint(x, tuple(logical_axes), fallback_rules=LOGICAL_RULES)
