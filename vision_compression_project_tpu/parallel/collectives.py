@@ -49,7 +49,7 @@ def distributed_topk(
         mesh=mesh,
         in_specs=P(AXIS_DATA),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(scores_sharded)
 
@@ -65,6 +65,6 @@ def ring_all_gather_rows(mesh: Mesh, shard_rows: jnp.ndarray) -> jnp.ndarray:
         mesh=mesh,
         in_specs=P(AXIS_DATA, None),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(shard_rows)
