@@ -1,0 +1,292 @@
+"""The flagship model: vision encoder + projector + LM decoder, with a
+jitted batched greedy-generation runner.
+
+On-device replacement for the reference's per-page Gemini-Vision calls
+(reference: backend/app/pipeline/pdf_extract.py:146-166) and answer
+generation (reference: backend/app/pipeline/qa.py:189-217).  Pages are
+processed as device batches (the reference's 5-thread fan-out becomes the
+batch dimension); generation is a lax.while-free fori_loop over decode steps
+with a carried KV cache, fully inside one jit.
+
+Structured output: the decoder emits `markdown <SEP> summary <SEP> entity
+(<US> entity)* <EOS>`; the host assembles the exact
+{page_number, markdown, entities, summary} page JSON, so artifacts are valid
+JSON by construction (the reference fence-stripped free-form model text,
+utils.py:34-53 — that parser is retained for reading legacy artifacts only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .configs import VLMConfig
+from .decoder import Decoder
+from .layers import _dtype, dense_init
+from .tokenizer import (
+    BOS_ID,
+    ByteTokenizer,
+    EOS_ID,
+    PAD_ID,
+    SEP_ID,
+    TASK_ANSWER_ID,
+    TASK_EXTRACT_ID,
+)
+from .vit import VisionEncoder
+
+UNIT_SEP = 0x1F  # byte separating entity list items inside the entities field
+
+
+class OpticalVLM(nn.Module):
+    cfg: VLMConfig
+
+    def setup(self):
+        self.vision = VisionEncoder(self.cfg.vision)
+        self.proj = nn.Dense(
+            self.cfg.decoder.dim,
+            use_bias=False,
+            dtype=_dtype(self.cfg.decoder.dtype),
+            kernel_init=dense_init("embed", "embed"),
+        )
+        self.decoder = Decoder(self.cfg.decoder)
+
+    def encode_pages(self, patch_tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.proj(self.vision(patch_tokens))
+
+    def __call__(
+        self,
+        patch_tokens: jnp.ndarray,
+        token_ids: jnp.ndarray,
+        kv_len: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Training/eval forward: logits over [vision ; text] sequence."""
+        vis = self.encode_pages(patch_tokens)
+        txt = self.decoder.embed_tokens(token_ids)
+        x = jnp.concatenate([vis, txt.astype(vis.dtype)], axis=1)
+        total_len = None
+        if kv_len is not None:
+            total_len = kv_len + vis.shape[1]
+        return self.decoder(x, kv_len=total_len)
+
+    def prefill_mixed(
+        self,
+        vision_emb: Optional[jnp.ndarray],
+        prompt_ids: jnp.ndarray,
+        kv_len: jnp.ndarray,
+    ):
+        txt = self.decoder.embed_tokens(prompt_ids)
+        if vision_emb is not None:
+            x = jnp.concatenate([vision_emb, txt.astype(vision_emb.dtype)], axis=1)
+        else:
+            x = txt
+        return self.decoder.prefill(x, kv_len=kv_len)
+
+    def decode_ids(self, ids: jnp.ndarray, caches, pos):
+        x = self.decoder.embed_tokens(ids[:, None])
+        return self.decoder.decode_step(x, caches, pos)
+
+
+# ---------------------------------------------------------------------------
+# Host-side runner
+# ---------------------------------------------------------------------------
+
+
+class VLMRunner:
+    """Owns params and compiled functions; presents batched extract/answer.
+
+    Weights default to deterministic random init (seed-stable): the framework
+    is the serving/training machinery, checkpoints provide quality.  Trained
+    weights load via train/checkpoint.py into the same pytree.
+    """
+
+    def __init__(
+        self,
+        cfg: VLMConfig,
+        params: Optional[Any] = None,
+        seed: int = 0,
+        max_new_default: int = 256,
+    ):
+        self.cfg = cfg
+        self.model = OpticalVLM(cfg)
+        self.tok = ByteTokenizer()
+        self.max_new_default = max_new_default
+        if params is None:
+            patch_dim = cfg.vision.patch * cfg.vision.patch * 3
+            grid = cfg.vision.grid
+            dummy_pages = jnp.zeros((1, grid * grid, patch_dim), jnp.bfloat16)
+            dummy_ids = jnp.zeros((1, 8), jnp.int32)
+            params = self.model.init(
+                jax.random.PRNGKey(seed), dummy_pages, dummy_ids
+            )["params"]
+            params = nn.meta.unbox(params)
+        self.params = params
+
+    # -- compiled pieces ----------------------------------------------------
+
+    @functools.cached_property
+    def _encode(self):
+        @jax.jit
+        def run(params, patch_tokens):
+            return self.model.apply(
+                {"params": params}, patch_tokens, method=OpticalVLM.encode_pages
+            )
+
+        return run
+
+    @functools.cached_property
+    def _generate(self):
+        @functools.partial(jax.jit, static_argnames=("max_new", "has_vision"))
+        def run(params, vision_emb, prompt_ids, prompt_len, max_new, has_vision):
+            b = prompt_ids.shape[0]
+            vis_len = vision_emb.shape[1] if has_vision else 0
+            kv_len = prompt_len + vis_len
+
+            def apply(method, *args):
+                return self.model.apply({"params": params}, *args, method=method)
+
+            logits, caches = apply(
+                OpticalVLM.prefill_mixed,
+                vision_emb if has_vision else None,
+                prompt_ids,
+                kv_len,
+            )
+            # Next token comes from the position of the last real prompt token.
+            last = jnp.take_along_axis(
+                logits, (kv_len - 1)[:, None, None], axis=1
+            )[:, 0]
+            first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+            out0 = jnp.full((b, max_new), PAD_ID, jnp.int32)
+            done0 = first_tok == EOS_ID
+            out0 = out0.at[:, 0].set(jnp.where(done0, EOS_ID, first_tok))
+
+            def body(i, carry):
+                out, caches, last_tok, done, pos = carry
+                logits_i, caches = apply(
+                    OpticalVLM.decode_ids, last_tok, caches, pos
+                )
+                tok = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
+                tok = jnp.where(done, PAD_ID, tok)
+                out = out.at[:, i].set(tok)
+                done = jnp.logical_or(done, tok == EOS_ID)
+                return out, caches, tok, done, pos + 1
+
+            out, *_ = jax.lax.fori_loop(
+                1, max_new, body, (out0, caches, first_tok, done0, kv_len)
+            )
+            return out
+
+        return run
+
+    # -- public API ---------------------------------------------------------
+
+    def preprocess_patches(self, pages_u8: np.ndarray) -> jnp.ndarray:
+        from ..ops.preprocess import preprocess_pages
+
+        cfg = self.cfg.vision
+        return preprocess_pages(
+            jnp.asarray(pages_u8),
+            target_h=cfg.image_size,
+            target_w=cfg.image_size,
+            patch=cfg.patch,
+        )
+
+    def _run_generate(
+        self,
+        prompts: List[List[int]],
+        vision_emb: Optional[jnp.ndarray],
+        max_new: int,
+    ) -> List[List[int]]:
+        b = len(prompts)
+        plen = max(len(p) for p in prompts)
+        # Pad prompt length to a lane-friendly bucket to bound recompiles.
+        plen = max(8, -(-plen // 64) * 64)
+        ids = np.full((b, plen), PAD_ID, np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, p in enumerate(prompts):
+            p = p[:plen]
+            ids[i, : len(p)] = p
+            lens[i] = len(p)
+        has_vision = vision_emb is not None
+        if not has_vision:
+            dim = self.cfg.decoder.dim
+            vision_emb = jnp.zeros((b, 0, dim), _dtype(self.cfg.decoder.dtype))
+        toks = self._generate(
+            self.params,
+            vision_emb,
+            jnp.asarray(ids),
+            jnp.asarray(lens),
+            max_new,
+            has_vision,
+        )
+        toks = np.asarray(toks)
+        result = []
+        for row in toks:
+            row = row.tolist()
+            if EOS_ID in row:
+                row = row[: row.index(EOS_ID)]
+            result.append([t for t in row if t != PAD_ID])
+        return result
+
+    def extract_batch(
+        self, pages_u8: np.ndarray, page_numbers: List[int], max_new: Optional[int] = None
+    ) -> List[Dict]:
+        """(B, H, W, 3) uint8 page rasters -> list of page-JSON dicts."""
+        max_new = max_new or self.max_new_default
+        patches = self.preprocess_patches(pages_u8)
+        vis = self._encode(self.params, patches)
+        prompts = [[BOS_ID, TASK_EXTRACT_ID]] * len(page_numbers)
+        sequences = self._run_generate(prompts, vis, max_new)
+        out = []
+        for page_no, seq in zip(page_numbers, sequences):
+            fields = self._split_fields(seq)
+            out.append(
+                {
+                    "page_number": page_no,
+                    "markdown": fields[0],
+                    "entities": fields[2],
+                    "summary": fields[1],
+                }
+            )
+        return out
+
+    def _split_fields(self, seq: List[int]) -> Tuple[str, str, List[str]]:
+        parts: List[List[int]] = [[]]
+        for t in seq:
+            if t == SEP_ID:
+                parts.append([])
+            else:
+                parts[-1].append(t)
+        markdown = self.tok.decode(parts[0]) if parts else ""
+        summary = self.tok.decode(parts[1]) if len(parts) > 1 else ""
+        entities: List[str] = []
+        if len(parts) > 2:
+            current: List[int] = []
+            for t in parts[2]:
+                if t == UNIT_SEP:
+                    if current:
+                        entities.append(self.tok.decode(current))
+                    current = []
+                else:
+                    current.append(t)
+            if current:
+                entities.append(self.tok.decode(current))
+        return markdown, summary, entities
+
+    def answer(
+        self, question: str, evidence_pack: str, max_new: Optional[int] = None
+    ) -> str:
+        max_new = max_new or self.max_new_default
+        prompt = (
+            [BOS_ID, TASK_ANSWER_ID]
+            + self.tok.encode(question)
+            + [SEP_ID]
+            + self.tok.encode(evidence_pack)[: self.cfg.decoder.max_seq - 256]
+        )
+        seq = self._run_generate([prompt], None, max_new)[0]
+        return self.tok.decode([t for t in seq if t < 256])
