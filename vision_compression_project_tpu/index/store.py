@@ -1,0 +1,56 @@
+"""Process-wide index store: load-or-create, autosave, one lock for writers.
+
+Plays the role of the Supermemory *service* (persistent, shared across
+requests) while VectorIndex is the engine.  The serving layer and CLIs share
+one store so ingested documents are immediately queryable
+(reference behavior: backend/app/main.py:120-145 ingest then chat).
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+from typing import Dict, Optional
+
+from ..config import RUNTIME
+from .vector_index import VectorIndex
+
+_lock = threading.Lock()
+_default_store: Optional["IndexStore"] = None
+
+
+class IndexStore:
+    def __init__(self, root, dim: int):
+        self.root = Path(root)
+        self.dim = dim
+        self._lock = threading.Lock()
+        if (self.root / "metadata.json").exists():
+            self.index = VectorIndex.load(self.root)
+            if self.index.dim != dim:
+                # Embedder config changed; start fresh rather than mix spaces.
+                self.index = VectorIndex(dim=dim)
+        else:
+            self.index = VectorIndex(dim=dim)
+
+    def add(self, embeddings, records, memory_ids=None):
+        with self._lock:
+            ids = self.index.add(embeddings, records, memory_ids)
+            self.index.save(self.root)
+            return ids
+
+    def search(self, query_embeddings, top_k=8, doc_id=None):
+        return self.index.search(query_embeddings, top_k=top_k, doc_id=doc_id)
+
+
+def get_default_store(dim: Optional[int] = None, root=None) -> IndexStore:
+    global _default_store
+    dim = dim or RUNTIME.embed_dim
+    root = Path(root or RUNTIME.index_root)
+    with _lock:
+        if (
+            _default_store is None
+            or _default_store.root != root
+            or _default_store.dim != dim
+        ):
+            _default_store = IndexStore(root, dim)
+        return _default_store

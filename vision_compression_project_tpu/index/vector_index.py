@@ -1,0 +1,234 @@
+"""HBM-resident vector index with metadata filtering.
+
+On-device replacement for the reference's Supermemory cloud index
+(reference: backend/app/pipeline/supermemory_ingest.py:53-79 create;
+qa.py:37-99 search incl. the {'doc_id': ...} filter).  Embedding rows live in
+a device buffer (amortized-doubling capacity); doc_id filtering is a
+multiplicative mask fused into the Pallas scoring kernel (ops/topk.py), so a
+filtered query costs one masked matmul + on-device top-k — no over-fetch, no
+client-side filtering fallback.
+
+Row shards can be laid out over the mesh `data` axis; `search_sharded` merges
+per-shard candidates with parallel/collectives.distributed_topk.
+"""
+
+from __future__ import annotations
+
+import json
+import secrets
+import string
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.topk import cosine_topk
+from ..parallel.collectives import distributed_topk
+from ..parallel.mesh import AXIS_DATA
+
+_ALPHABET = string.ascii_letters + string.digits
+
+
+def _new_memory_id() -> str:
+    """Opaque 22-char alphanumeric id (same surface shape as the reference's
+    cloud memory ids, e.g. 'ZfqKQ1TkCeDRDKJyuNQk47')."""
+    return "".join(secrets.choice(_ALPHABET) for _ in range(22))
+
+
+class VectorIndex:
+    """Replicated (single-buffer) index.  Thread-compatible for the serving
+    layer: mutation happens only in `add` which callers serialize."""
+
+    def __init__(self, dim: int, capacity: int = 1024, dtype=jnp.float32):
+        self.dim = dim
+        self.dtype = dtype
+        self._rows = jnp.zeros((capacity, dim), dtype)
+        self.count = 0
+        self.metadata: List[Dict] = []  # row -> record
+        self._id_to_row: Dict[str, int] = {}
+        self._doc_rows: Dict[str, List[int]] = {}
+        self._mask_cache: Dict[Optional[str], jnp.ndarray] = {}
+
+    # -- mutation -----------------------------------------------------------
+
+    def _ensure_capacity(self, extra: int) -> None:
+        cap = self._rows.shape[0]
+        needed = self.count + extra
+        if needed <= cap:
+            return
+        new_cap = cap
+        while new_cap < needed:
+            new_cap *= 2
+        self._rows = jnp.pad(self._rows, ((0, new_cap - cap), (0, 0)))
+        self._mask_cache.clear()
+
+    def add(
+        self,
+        embeddings: np.ndarray,
+        records: Sequence[Dict],
+        memory_ids: Optional[Sequence[str]] = None,
+    ) -> List[str]:
+        """Append unit-norm embedding rows with their metadata records.
+
+        Each record should carry at least {'doc_id', 'page', 'content'};
+        extra keys (summary, entities, source_file) ride along untouched.
+        """
+        embeddings = np.asarray(embeddings, np.float32)
+        assert embeddings.ndim == 2 and embeddings.shape[1] == self.dim
+        n = embeddings.shape[0]
+        assert len(records) == n
+        if memory_ids is None:
+            memory_ids = [_new_memory_id() for _ in range(n)]
+        self._ensure_capacity(n)
+        self._rows = jax.lax.dynamic_update_slice(
+            self._rows, jnp.asarray(embeddings, self.dtype), (self.count, 0)
+        )
+        ids = []
+        for i, (record, mem_id) in enumerate(zip(records, memory_ids)):
+            row = self.count + i
+            rec = dict(record)
+            rec["memory_id"] = mem_id
+            self.metadata.append(rec)
+            self._id_to_row[mem_id] = row
+            doc = rec.get("doc_id")
+            if doc is not None:
+                self._doc_rows.setdefault(doc, []).append(row)
+            ids.append(mem_id)
+        self.count += n
+        self._mask_cache.clear()
+        return ids
+
+    # -- query --------------------------------------------------------------
+
+    def _mask_for(self, doc_id: Optional[str]) -> jnp.ndarray:
+        if doc_id in self._mask_cache:
+            return self._mask_cache[doc_id]
+        cap = self._rows.shape[0]
+        mask = np.zeros((cap,), np.float32)
+        if doc_id is None:
+            mask[: self.count] = 1.0
+        else:
+            rows = self._doc_rows.get(doc_id, [])
+            mask[rows] = 1.0
+        device_mask = jnp.asarray(mask)
+        self._mask_cache[doc_id] = device_mask
+        return device_mask
+
+    def search(
+        self,
+        query_embeddings: np.ndarray,
+        top_k: int = 8,
+        doc_id: Optional[str] = None,
+    ) -> List[List[Dict]]:
+        """Masked cosine top-k.  Returns, per query, result dicts shaped like
+        the reference's search results: {'id', 'content', 'metadata', 'score'}
+        (duck-type compatible with qa's result-info extraction,
+        reference qa.py:102-156)."""
+        queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
+        if self.count == 0:
+            return [[] for _ in range(queries.shape[0])]
+        k = min(top_k, self.count)
+        mask = self._mask_for(doc_id)
+        vals, idx = cosine_topk(self._rows, jnp.asarray(queries), mask, k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        out: List[List[Dict]] = []
+        for qi in range(queries.shape[0]):
+            results = []
+            for score, row in zip(vals[qi], idx[qi]):
+                if score <= -1e29:  # masked-out filler when doc has < k rows
+                    continue
+                rec = self.metadata[int(row)]
+                results.append(
+                    {
+                        "id": rec["memory_id"],
+                        "content": rec.get("content", ""),
+                        "metadata": {
+                            key: rec[key]
+                            for key in rec
+                            if key not in ("memory_id", "content")
+                        },
+                        "score": float(score),
+                    }
+                )
+            out.append(results)
+        return out
+
+    def search_sharded(
+        self,
+        mesh,
+        query_embedding: np.ndarray,
+        top_k: int = 8,
+        doc_id: Optional[str] = None,
+    ) -> List[Dict]:
+        """Single-query search with rows sharded over the mesh data axis.
+
+        Demonstrates the scale path: local masked matmul per shard, then a
+        tiny all-gather merge of k candidates per shard (ICI), instead of
+        gathering full score vectors.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.count == 0:
+            return []
+        k = min(top_k, self.count)
+        cap = self._rows.shape[0]
+        n_shards = mesh.shape[AXIS_DATA]
+        pad = (-cap) % (n_shards * max(k, 1))
+        rows = jnp.pad(self._rows, ((0, pad), (0, 0)))
+        mask = jnp.pad(self._mask_for(doc_id), (0, pad))
+        q = jnp.asarray(np.asarray(query_embedding, np.float32))
+        scores = jnp.where(
+            mask > 0, rows.astype(jnp.float32) @ q, -1e30
+        )
+        scores = jax.device_put(scores, NamedSharding(mesh, P(AXIS_DATA)))
+        vals, idx = distributed_topk(mesh, scores, k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        results = []
+        for score, row in zip(vals, idx):
+            if score <= -1e29:
+                continue
+            rec = self.metadata[int(row)]
+            results.append(
+                {
+                    "id": rec["memory_id"],
+                    "content": rec.get("content", ""),
+                    "metadata": {
+                        key: rec[key]
+                        for key in rec
+                        if key not in ("memory_id", "content")
+                    },
+                    "score": float(score),
+                }
+            )
+        return results
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path) -> None:
+        path = Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        rows = np.asarray(self._rows[: self.count], np.float32)
+        np.savez_compressed(path / "rows.npz", rows=rows)
+        (path / "metadata.json").write_text(
+            json.dumps({"dim": self.dim, "metadata": self.metadata}, ensure_ascii=False)
+        )
+
+    @classmethod
+    def load(cls, path, dtype=jnp.float32) -> "VectorIndex":
+        path = Path(path)
+        meta = json.loads((path / "metadata.json").read_text())
+        with np.load(path / "rows.npz") as data:
+            rows = data["rows"]
+        index = cls(dim=meta["dim"], capacity=max(1024, rows.shape[0]), dtype=dtype)
+        if rows.shape[0]:
+            index.add(
+                rows,
+                [
+                    {k: v for k, v in rec.items() if k != "memory_id"}
+                    for rec in meta["metadata"]
+                ],
+                memory_ids=[rec["memory_id"] for rec in meta["metadata"]],
+            )
+        return index
