@@ -1,0 +1,1225 @@
+// vcpraster: self-contained batched PDF engine (parse, text, raster).
+//
+// TPU-native replacement for the reference's rasterization layer, which
+// shelled out to a Poppler subprocess once per page via pdf2image
+// (reference: backend/app/pipeline/pdf_extract.py:107-122) and discovered
+// page counts by speculatively converting pages 1..1000
+// (reference: backend/app/pipeline/pdf_extract.py:243-295).  Here a document
+// is parsed once (object scan + object-stream expansion; page count comes
+// from the page tree), and N pages are rendered into one caller-provided
+// contiguous uint8 buffer by a thread pool — sized for direct hand-off to
+// the Pallas preprocessing kernels.
+//
+// Scope: classic + object-stream PDFs, FlateDecode, simple & Type0 fonts
+// (ToUnicode bfchar/bfrange), text showing ops, rect fills.  Embedded glyph
+// outlines are approximated with a built-in bitmap font — sufficient for the
+// OCR-pipeline use case where the VLM consumes page *images*; unsupported
+// constructs degrade gracefully (blank regions), never crash.
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <map>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "font.h"
+
+namespace vcpr {
+
+// ---------------------------------------------------------------------------
+// Object model
+// ---------------------------------------------------------------------------
+
+struct Obj;
+using ObjPtr = std::shared_ptr<Obj>;
+
+struct Obj {
+  enum Type { kNull, kBool, kNum, kStr, kName, kArray, kDict, kStream, kRef };
+  Type type = kNull;
+  bool bval = false;
+  double num = 0;
+  std::string str;                       // Str payload or Name text
+  std::vector<ObjPtr> arr;
+  std::map<std::string, ObjPtr> dict;
+  std::string stream;                    // raw (undecoded) stream bytes
+  int ref_num = 0, ref_gen = 0;
+
+  bool is(Type t) const { return type == t; }
+  double as_num(double dflt = 0) const { return type == kNum ? num : dflt; }
+};
+
+static ObjPtr make_null() { return std::make_shared<Obj>(); }
+
+// ---------------------------------------------------------------------------
+// Lexer / object parser
+// ---------------------------------------------------------------------------
+
+class Lexer {
+ public:
+  Lexer(const std::string& data, size_t pos = 0) : d_(data), p_(pos) {}
+
+  size_t pos() const { return p_; }
+  void seek(size_t p) { p_ = p; }
+
+  void skip_ws() {
+    while (p_ < d_.size()) {
+      char c = d_[p_];
+      if (c == '%') {  // comment to EOL
+        while (p_ < d_.size() && d_[p_] != '\n' && d_[p_] != '\r') p_++;
+      } else if (isspace(static_cast<unsigned char>(c)) || c == '\0') {
+        p_++;
+      } else {
+        break;
+      }
+    }
+  }
+
+  bool eof() {
+    skip_ws();
+    return p_ >= d_.size();
+  }
+
+  char peek() { return p_ < d_.size() ? d_[p_] : '\0'; }
+
+  bool match(const char* kw) {
+    skip_ws();
+    size_t n = strlen(kw);
+    if (d_.compare(p_, n, kw) == 0) {
+      p_ += n;
+      return true;
+    }
+    return false;
+  }
+
+  // Parse one object starting at current position.
+  ObjPtr parse() {
+    skip_ws();
+    if (p_ >= d_.size()) return make_null();
+    char c = d_[p_];
+    if (c == '<' && p_ + 1 < d_.size() && d_[p_ + 1] == '<') return parse_dict_or_stream();
+    if (c == '<') return parse_hex_string();
+    if (c == '(') return parse_literal_string();
+    if (c == '/') return parse_name();
+    if (c == '[') return parse_array();
+    if (c == 't' || c == 'f') {
+      if (match("true")) { auto o = std::make_shared<Obj>(); o->type = Obj::kBool; o->bval = true; return o; }
+      if (match("false")) { auto o = std::make_shared<Obj>(); o->type = Obj::kBool; return o; }
+      p_++; return make_null();
+    }
+    if (c == 'n') { match("null"); return make_null(); }
+    if (c == '+' || c == '-' || c == '.' || isdigit(static_cast<unsigned char>(c)))
+      return parse_number_or_ref();
+    p_++;  // unknown byte: skip
+    return make_null();
+  }
+
+  // Parse an operator token (content streams): returns text, or "" at EOF.
+  std::string next_token_raw() {
+    skip_ws();
+    size_t start = p_;
+    while (p_ < d_.size()) {
+      char c = d_[p_];
+      if (isspace(static_cast<unsigned char>(c)) || strchr("/[]()<>", c)) break;
+      p_++;
+    }
+    return d_.substr(start, p_ - start);
+  }
+
+ private:
+  ObjPtr parse_number_or_ref() {
+    size_t save = p_;
+    double v = parse_number_value();
+    // Lookahead for "G R" (indirect reference).
+    size_t after_num = p_;
+    skip_ws();
+    size_t gen_start = p_;
+    if (p_ < d_.size() && isdigit(static_cast<unsigned char>(d_[p_]))) {
+      while (p_ < d_.size() && isdigit(static_cast<unsigned char>(d_[p_]))) p_++;
+      size_t gen_end = p_;
+      skip_ws();
+      if (p_ < d_.size() && d_[p_] == 'R' &&
+          (p_ + 1 >= d_.size() || !isalnum(static_cast<unsigned char>(d_[p_ + 1])))) {
+        p_++;
+        auto o = std::make_shared<Obj>();
+        o->type = Obj::kRef;
+        o->ref_num = static_cast<int>(v);
+        o->ref_gen = atoi(d_.substr(gen_start, gen_end - gen_start).c_str());
+        return o;
+      }
+    }
+    p_ = after_num;
+    (void)save;
+    auto o = std::make_shared<Obj>();
+    o->type = Obj::kNum;
+    o->num = v;
+    return o;
+  }
+
+  double parse_number_value() {
+    skip_ws();
+    size_t start = p_;
+    if (peek() == '+' || peek() == '-') p_++;
+    while (p_ < d_.size() &&
+           (isdigit(static_cast<unsigned char>(d_[p_])) || d_[p_] == '.'))
+      p_++;
+    return atof(d_.substr(start, p_ - start).c_str());
+  }
+
+  ObjPtr parse_name() {
+    p_++;  // '/'
+    auto o = std::make_shared<Obj>();
+    o->type = Obj::kName;
+    while (p_ < d_.size()) {
+      char c = d_[p_];
+      if (isspace(static_cast<unsigned char>(c)) || strchr("/[]()<>{}%", c)) break;
+      if (c == '#' && p_ + 2 < d_.size()) {
+        auto hex = [](char h) {
+          if (h >= '0' && h <= '9') return h - '0';
+          if (h >= 'a' && h <= 'f') return h - 'a' + 10;
+          if (h >= 'A' && h <= 'F') return h - 'A' + 10;
+          return 0;
+        };
+        o->str += static_cast<char>(hex(d_[p_ + 1]) * 16 + hex(d_[p_ + 2]));
+        p_ += 3;
+      } else {
+        o->str += c;
+        p_++;
+      }
+    }
+    return o;
+  }
+
+  ObjPtr parse_literal_string() {
+    p_++;  // '('
+    auto o = std::make_shared<Obj>();
+    o->type = Obj::kStr;
+    int depth = 1;
+    while (p_ < d_.size() && depth > 0) {
+      char c = d_[p_++];
+      if (c == '\\' && p_ < d_.size()) {
+        char e = d_[p_++];
+        switch (e) {
+          case 'n': o->str += '\n'; break;
+          case 'r': o->str += '\r'; break;
+          case 't': o->str += '\t'; break;
+          case 'b': o->str += '\b'; break;
+          case 'f': o->str += '\f'; break;
+          case '(': o->str += '('; break;
+          case ')': o->str += ')'; break;
+          case '\\': o->str += '\\'; break;
+          case '\r':
+            if (p_ < d_.size() && d_[p_] == '\n') p_++;
+            break;  // line continuation
+          case '\n': break;
+          default:
+            if (e >= '0' && e <= '7') {  // octal (up to 3 digits)
+              int v = e - '0';
+              for (int i = 0; i < 2 && p_ < d_.size() && d_[p_] >= '0' && d_[p_] <= '7'; i++)
+                v = v * 8 + (d_[p_++] - '0');
+              o->str += static_cast<char>(v & 0xff);
+            } else {
+              o->str += e;
+            }
+        }
+      } else if (c == '(') {
+        depth++;
+        o->str += c;
+      } else if (c == ')') {
+        depth--;
+        if (depth > 0) o->str += c;
+      } else {
+        o->str += c;
+      }
+    }
+    return o;
+  }
+
+  ObjPtr parse_hex_string() {
+    p_++;  // '<'
+    auto o = std::make_shared<Obj>();
+    o->type = Obj::kStr;
+    std::string hex;
+    while (p_ < d_.size() && d_[p_] != '>') {
+      char c = d_[p_++];
+      if (isxdigit(static_cast<unsigned char>(c))) hex += c;
+    }
+    if (p_ < d_.size()) p_++;  // '>'
+    if (hex.size() % 2) hex += '0';
+    for (size_t i = 0; i + 1 < hex.size() + 1 && i + 1 < hex.size() + 1; i += 2) {
+      if (i + 1 >= hex.size()) break;
+      auto hv = [](char h) {
+        if (h >= '0' && h <= '9') return h - '0';
+        if (h >= 'a' && h <= 'f') return h - 'a' + 10;
+        return h - 'A' + 10;
+      };
+      o->str += static_cast<char>(hv(hex[i]) * 16 + hv(hex[i + 1]));
+    }
+    return o;
+  }
+
+  ObjPtr parse_array() {
+    p_++;  // '['
+    auto o = std::make_shared<Obj>();
+    o->type = Obj::kArray;
+    while (true) {
+      skip_ws();
+      if (p_ >= d_.size() || d_[p_] == ']') {
+        if (p_ < d_.size()) p_++;
+        break;
+      }
+      o->arr.push_back(parse());
+    }
+    return o;
+  }
+
+  ObjPtr parse_dict_or_stream() {
+    p_ += 2;  // '<<'
+    auto o = std::make_shared<Obj>();
+    o->type = Obj::kDict;
+    while (true) {
+      skip_ws();
+      if (p_ + 1 < d_.size() && d_[p_] == '>' && d_[p_ + 1] == '>') {
+        p_ += 2;
+        break;
+      }
+      if (p_ >= d_.size()) break;
+      ObjPtr key = parse();
+      if (!key->is(Obj::kName)) continue;
+      o->dict[key->str] = parse();
+    }
+    // Stream payload?
+    size_t save = p_;
+    skip_ws();
+    if (d_.compare(p_, 6, "stream") == 0) {
+      p_ += 6;
+      if (p_ < d_.size() && d_[p_] == '\r') p_++;
+      if (p_ < d_.size() && d_[p_] == '\n') p_++;
+      o->type = Obj::kStream;
+      // Length may be an indirect ref; resolved later by Document. Record
+      // payload bounds using endstream search as a robust fallback.
+      size_t len = 0;
+      auto it = o->dict.find("Length");
+      bool have_len = false;
+      if (it != o->dict.end() && it->second->is(Obj::kNum)) {
+        len = static_cast<size_t>(it->second->num);
+        if (p_ + len <= d_.size() &&
+            d_.find("endstream", p_ + len) != std::string::npos) {
+          size_t es = d_.find("endstream", p_ + len);
+          if (es <= p_ + len + 4) have_len = true;
+        }
+      }
+      if (!have_len) {
+        size_t es = d_.find("endstream", p_);
+        len = (es == std::string::npos) ? d_.size() - p_ : es - p_;
+        // Trim the trailing EOL before endstream.
+        while (len > 0 && (d_[p_ + len - 1] == '\n' || d_[p_ + len - 1] == '\r')) len--;
+      }
+      o->stream = d_.substr(p_, len);
+      size_t es = d_.find("endstream", p_ + len);
+      p_ = (es == std::string::npos) ? d_.size() : es + 9;
+    } else {
+      p_ = save;
+    }
+    return o;
+  }
+
+  const std::string& d_;
+  size_t p_;
+};
+
+// ---------------------------------------------------------------------------
+// Flate
+// ---------------------------------------------------------------------------
+
+static bool inflate_bytes(const std::string& in, std::string* out) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return false;
+  zs.next_in = reinterpret_cast<Bytef*>(const_cast<char*>(in.data()));
+  zs.avail_in = static_cast<uInt>(in.size());
+  char buf[1 << 16];
+  int ret;
+  do {
+    zs.next_out = reinterpret_cast<Bytef*>(buf);
+    zs.avail_out = sizeof(buf);
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) break;
+    out->append(buf, sizeof(buf) - zs.avail_out);
+  } while (ret != Z_STREAM_END && zs.avail_in > 0);
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END || !out->empty();
+}
+
+// PNG predictors (used by FlateDecode with /Predictor >= 10).
+static void apply_png_predictor(std::string* data, int columns, int colors, int bpc) {
+  int bpp = std::max(1, colors * bpc / 8);
+  int rowlen = columns * colors * bpc / 8;
+  std::string out;
+  std::vector<unsigned char> prev(rowlen, 0);
+  size_t p = 0;
+  while (p + 1 + rowlen <= data->size() + 1 && p < data->size()) {
+    int filter = static_cast<unsigned char>((*data)[p++]);
+    size_t avail = std::min(static_cast<size_t>(rowlen), data->size() - p);
+    std::vector<unsigned char> row(rowlen, 0);
+    memcpy(row.data(), data->data() + p, avail);
+    p += avail;
+    for (int i = 0; i < rowlen; i++) {
+      int left = i >= bpp ? row[i - bpp] : 0;
+      int up = prev[i];
+      int ul = i >= bpp ? prev[i - bpp] : 0;
+      switch (filter) {
+        case 1: row[i] = static_cast<unsigned char>(row[i] + left); break;
+        case 2: row[i] = static_cast<unsigned char>(row[i] + up); break;
+        case 3: row[i] = static_cast<unsigned char>(row[i] + (left + up) / 2); break;
+        case 4: {
+          int pp = left + up - ul;
+          int pa = abs(pp - left), pb = abs(pp - up), pc = abs(pp - ul);
+          int pred = (pa <= pb && pa <= pc) ? left : (pb <= pc ? up : ul);
+          row[i] = static_cast<unsigned char>(row[i] + pred);
+          break;
+        }
+        default: break;
+      }
+    }
+    out.append(reinterpret_cast<char*>(row.data()), rowlen);
+    prev = row;
+  }
+  *data = out;
+}
+
+// ---------------------------------------------------------------------------
+// Document
+// ---------------------------------------------------------------------------
+
+struct Font {
+  // byte/CID -> unicode (from ToUnicode); empty = identity latin1.
+  std::map<uint32_t, std::string> to_unicode;
+  bool two_byte = false;                 // Type0 Identity encodings
+  std::map<uint32_t, double> widths;     // glyph widths /1000
+  double default_width = 500;
+};
+
+struct PositionedRun {
+  double x, y;        // device-space baseline origin (y: top-down AFTER flip)
+  double size;        // device-space font size (pixels at raster time: pts)
+  std::string text;   // unicode text
+};
+
+struct PageData {
+  double width_pts = 612, height_pts = 792;
+  std::string content;                       // decoded content stream
+  std::map<std::string, Font> fonts;         // resource name -> font
+};
+
+class Document {
+ public:
+  bool open(const std::string& path) {
+    std::ifstream f(path, std::ios::binary);
+    if (!f) return false;
+    std::string data((std::istreambuf_iterator<char>(f)),
+                     std::istreambuf_iterator<char>());
+    data_ = std::move(data);
+    if (data_.compare(0, 5, "%PDF-") != 0 &&
+        data_.find("%PDF-") == std::string::npos)
+      return false;
+    scan_objects();
+    expand_object_streams();
+    build_pages();
+    return true;
+  }
+
+  int page_count() const { return static_cast<int>(pages_.size()); }
+  const PageData& page(int i) const { return pages_[i]; }
+
+ private:
+  // Build the object table by scanning for "N G obj" — robust against
+  // damaged xref tables, and avoids implementing two xref formats; object
+  // streams are expanded afterwards for modern files.
+  void scan_objects() {
+    size_t p = 0;
+    while ((p = data_.find(" obj", p)) != std::string::npos) {
+      // Walk back over "N G".
+      size_t q = p;
+      auto skip_back_digits = [&](size_t from) -> size_t {
+        size_t r = from;
+        while (r > 0 && isdigit(static_cast<unsigned char>(data_[r - 1]))) r--;
+        return r;
+      };
+      size_t gen_end = q;
+      size_t gen_start = skip_back_digits(gen_end);
+      if (gen_start == gen_end || gen_start == 0 || data_[gen_start - 1] != ' ') {
+        p += 4;
+        continue;
+      }
+      size_t num_end = gen_start - 1;
+      size_t num_start = skip_back_digits(num_end);
+      if (num_start == num_end) {
+        p += 4;
+        continue;
+      }
+      int num = atoi(data_.substr(num_start, num_end - num_start).c_str());
+      Lexer lex(data_, p + 4);
+      objects_[num] = lex.parse();
+      p = lex.pos();
+    }
+  }
+
+  std::string decode_stream(const ObjPtr& s) {
+    std::string raw = s->stream;
+    // Resolve indirect /Length: raw bound already handled by endstream scan.
+    ObjPtr filter = resolve(get(s, "Filter"));
+    std::vector<std::string> filters;
+    if (filter->is(Obj::kName)) filters.push_back(filter->str);
+    if (filter->is(Obj::kArray))
+      for (auto& f : filter->arr) {
+        ObjPtr rf = resolve(f);
+        if (rf->is(Obj::kName)) filters.push_back(rf->str);
+      }
+    std::string cur = raw;
+    for (auto& f : filters) {
+      if (f == "FlateDecode" || f == "Fl") {
+        std::string out;
+        if (!inflate_bytes(cur, &out)) return "";
+        cur = out;
+        ObjPtr parms = resolve(get(s, "DecodeParms"));
+        if (parms->is(Obj::kDict)) {
+          int pred = static_cast<int>(resolve(get(parms, "Predictor"))->as_num(1));
+          if (pred >= 10) {
+            int cols = static_cast<int>(resolve(get(parms, "Columns"))->as_num(1));
+            int colors = static_cast<int>(resolve(get(parms, "Colors"))->as_num(1));
+            int bpc = static_cast<int>(resolve(get(parms, "BitsPerComponent"))->as_num(8));
+            apply_png_predictor(&cur, cols, colors, bpc);
+          }
+        }
+      } else if (f == "ASCIIHexDecode") {
+        std::string out;
+        int hi = -1;
+        for (char c : cur) {
+          if (c == '>') break;
+          if (!isxdigit(static_cast<unsigned char>(c))) continue;
+          int v = isdigit(static_cast<unsigned char>(c)) ? c - '0'
+                  : (tolower(c) - 'a' + 10);
+          if (hi < 0) hi = v;
+          else { out += static_cast<char>(hi * 16 + v); hi = -1; }
+        }
+        if (hi >= 0) out += static_cast<char>(hi * 16);
+        cur = out;
+      } else {
+        return "";  // unsupported filter (DCT etc.): give up on this stream
+      }
+    }
+    return cur;
+  }
+
+  void expand_object_streams() {
+    std::vector<int> objstm_nums;
+    for (auto& [num, obj] : objects_) {
+      if (obj->is(Obj::kStream)) {
+        ObjPtr t = get(obj, "Type");
+        if (t->is(Obj::kName) && t->str == "ObjStm") objstm_nums.push_back(num);
+      }
+    }
+    for (int num : objstm_nums) {
+      ObjPtr s = objects_[num];
+      std::string payload = decode_stream(s);
+      if (payload.empty()) continue;
+      int n = static_cast<int>(resolve(get(s, "N"))->as_num(0));
+      int first = static_cast<int>(resolve(get(s, "First"))->as_num(0));
+      Lexer head(payload, 0);
+      std::vector<std::pair<int, int>> entries;  // (objnum, offset)
+      for (int i = 0; i < n; i++) {
+        ObjPtr a = head.parse(), b = head.parse();
+        if (!a->is(Obj::kNum) || !b->is(Obj::kNum)) break;
+        entries.push_back({static_cast<int>(a->num), static_cast<int>(b->num)});
+      }
+      for (auto& [onum, off] : entries) {
+        if (objects_.count(onum)) continue;  // scanned copy wins
+        Lexer lex(payload, first + off);
+        objects_[onum] = lex.parse();
+      }
+    }
+  }
+
+  ObjPtr get(const ObjPtr& dict_obj, const std::string& key) {
+    auto it = dict_obj->dict.find(key);
+    return it == dict_obj->dict.end() ? make_null() : it->second;
+  }
+
+  ObjPtr resolve(const ObjPtr& o, int depth = 0) {
+    if (!o || depth > 16) return make_null();
+    if (o->is(Obj::kRef)) {
+      auto it = objects_.find(o->ref_num);
+      if (it == objects_.end()) return make_null();
+      return resolve(it->second, depth + 1);
+    }
+    return o;
+  }
+
+  void collect_pages(const ObjPtr& node, ObjPtr inherited_mediabox,
+                     ObjPtr inherited_resources, int depth = 0) {
+    if (depth > 64) return;
+    ObjPtr n = resolve(node);
+    if (!n->is(Obj::kDict) && !n->is(Obj::kStream)) return;
+    ObjPtr type = resolve(get(n, "Type"));
+    ObjPtr mediabox = get(n, "MediaBox");
+    if (mediabox->is(Obj::kNull)) mediabox = inherited_mediabox;
+    ObjPtr resources = get(n, "Resources");
+    if (resources->is(Obj::kNull)) resources = inherited_resources;
+    if (type->is(Obj::kName) && type->str == "Page") {
+      PageData pd;
+      ObjPtr mb = resolve(mediabox);
+      if (mb->is(Obj::kArray) && mb->arr.size() == 4) {
+        double x0 = resolve(mb->arr[0])->as_num(0);
+        double y0 = resolve(mb->arr[1])->as_num(0);
+        double x1 = resolve(mb->arr[2])->as_num(612);
+        double y1 = resolve(mb->arr[3])->as_num(792);
+        pd.width_pts = fabs(x1 - x0);
+        pd.height_pts = fabs(y1 - y0);
+      }
+      // Content stream(s).
+      ObjPtr contents = resolve(get(n, "Contents"));
+      if (contents->is(Obj::kStream)) {
+        pd.content = decode_stream(contents);
+      } else if (contents->is(Obj::kArray)) {
+        for (auto& c : contents->arr) {
+          ObjPtr cs = resolve(c);
+          if (cs->is(Obj::kStream)) {
+            pd.content += decode_stream(cs);
+            pd.content += "\n";
+          }
+        }
+      }
+      load_fonts(resolve(resources), &pd);
+      pages_.push_back(std::move(pd));
+      return;
+    }
+    // Pages node (or root without explicit type).
+    ObjPtr kids = resolve(get(n, "Kids"));
+    if (kids->is(Obj::kArray))
+      for (auto& kid : kids->arr)
+        collect_pages(kid, mediabox, resources, depth + 1);
+  }
+
+  void load_fonts(const ObjPtr& resources, PageData* pd) {
+    if (!resources->is(Obj::kDict)) return;
+    ObjPtr fonts = resolve(get(resources, "Font"));
+    if (!fonts->is(Obj::kDict)) return;
+    for (auto& [name, fref] : fonts->dict) {
+      ObjPtr f = resolve(fref);
+      if (!f->is(Obj::kDict) && !f->is(Obj::kStream)) continue;
+      Font font;
+      ObjPtr subtype = resolve(get(f, "Subtype"));
+      if (subtype->is(Obj::kName) && subtype->str == "Type0") {
+        font.two_byte = true;
+        font.default_width = 1000;
+      }
+      // Simple-font widths.
+      ObjPtr widths = resolve(get(f, "Widths"));
+      int firstchar = static_cast<int>(resolve(get(f, "FirstChar"))->as_num(0));
+      if (widths->is(Obj::kArray))
+        for (size_t i = 0; i < widths->arr.size(); i++)
+          font.widths[firstchar + i] = resolve(widths->arr[i])->as_num(500);
+      // CID widths (/W) — [c [w...] | c1 c2 w] format.
+      ObjPtr desc_fonts = resolve(get(f, "DescendantFonts"));
+      if (desc_fonts->is(Obj::kArray) && !desc_fonts->arr.empty()) {
+        ObjPtr df = resolve(desc_fonts->arr[0]);
+        ObjPtr w = resolve(get(df, "W"));
+        ObjPtr dw = resolve(get(df, "DW"));
+        if (dw->is(Obj::kNum)) font.default_width = dw->num;
+        if (w->is(Obj::kArray)) {
+          size_t i = 0;
+          while (i < w->arr.size()) {
+            ObjPtr a = resolve(w->arr[i]);
+            if (!a->is(Obj::kNum)) break;
+            if (i + 1 < w->arr.size()) {
+              ObjPtr b = resolve(w->arr[i + 1]);
+              if (b->is(Obj::kArray)) {
+                int c = static_cast<int>(a->num);
+                for (size_t j = 0; j < b->arr.size(); j++)
+                  font.widths[c + j] = resolve(b->arr[j])->as_num(500);
+                i += 2;
+                continue;
+              }
+              if (i + 2 < w->arr.size()) {
+                int c1 = static_cast<int>(a->num);
+                int c2 = static_cast<int>(b->as_num(0));
+                double wv = resolve(w->arr[i + 2])->as_num(500);
+                for (int c = c1; c <= c2 && c - c1 < 65536; c++) font.widths[c] = wv;
+                i += 3;
+                continue;
+              }
+            }
+            break;
+          }
+        }
+      }
+      // ToUnicode CMap.
+      ObjPtr tu = resolve(get(f, "ToUnicode"));
+      if (tu->is(Obj::kStream)) parse_tounicode(decode_stream(tu), &font);
+      pd->fonts[name] = std::move(font);
+    }
+  }
+
+  static uint32_t hex_to_u32(const std::string& h) {
+    uint32_t v = 0;
+    for (char c : h) {
+      v <<= 4;
+      if (c >= '0' && c <= '9') v |= c - '0';
+      else if (c >= 'a' && c <= 'f') v |= c - 'a' + 10;
+      else if (c >= 'A' && c <= 'F') v |= c - 'A' + 10;
+    }
+    return v;
+  }
+
+  static std::string utf16be_hex_to_utf8(const std::string& hex) {
+    std::string out;
+    for (size_t i = 0; i + 3 < hex.size() + 1 && i + 4 <= hex.size(); i += 4) {
+      uint32_t cp = hex_to_u32(hex.substr(i, 4));
+      if (cp >= 0xD800 && cp < 0xDC00 && i + 8 <= hex.size()) {
+        uint32_t lo = hex_to_u32(hex.substr(i + 4, 4));
+        cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+        i += 4;
+      }
+      if (cp < 0x80) out += static_cast<char>(cp);
+      else if (cp < 0x800) {
+        out += static_cast<char>(0xC0 | (cp >> 6));
+        out += static_cast<char>(0x80 | (cp & 0x3F));
+      } else if (cp < 0x10000) {
+        out += static_cast<char>(0xE0 | (cp >> 12));
+        out += static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+        out += static_cast<char>(0x80 | (cp & 0x3F));
+      } else {
+        out += static_cast<char>(0xF0 | (cp >> 18));
+        out += static_cast<char>(0x80 | ((cp >> 12) & 0x3F));
+        out += static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+        out += static_cast<char>(0x80 | (cp & 0x3F));
+      }
+    }
+    return out;
+  }
+
+  void parse_tounicode(const std::string& cmap, Font* font) {
+    // bfchar: <src> <dst> pairs; bfrange: <lo> <hi> <dst0> or <lo> <hi> [..]
+    size_t p = 0;
+    auto read_hex = [&](size_t* q) -> std::string {
+      size_t lt = cmap.find('<', *q);
+      if (lt == std::string::npos) { *q = cmap.size(); return ""; }
+      size_t gt = cmap.find('>', lt);
+      if (gt == std::string::npos) { *q = cmap.size(); return ""; }
+      *q = gt + 1;
+      return cmap.substr(lt + 1, gt - lt - 1);
+    };
+    while ((p = cmap.find("beginbfchar", p)) != std::string::npos) {
+      size_t end = cmap.find("endbfchar", p);
+      if (end == std::string::npos) break;
+      size_t q = p + 11;
+      while (q < end) {
+        std::string src = read_hex(&q);
+        if (src.empty() || q >= end) break;
+        std::string dst = read_hex(&q);
+        if (dst.empty()) break;
+        font->to_unicode[hex_to_u32(src)] = utf16be_hex_to_utf8(dst);
+      }
+      p = end + 9;
+    }
+    p = 0;
+    while ((p = cmap.find("beginbfrange", p)) != std::string::npos) {
+      size_t end = cmap.find("endbfrange", p);
+      if (end == std::string::npos) break;
+      size_t q = p + 12;
+      while (q < end) {
+        std::string lo_s = read_hex(&q);
+        if (lo_s.empty() || q >= end) break;
+        std::string hi_s = read_hex(&q);
+        if (hi_s.empty()) break;
+        // Next is either <dst> or [ <d1> <d2> ... ]
+        size_t bracket = cmap.find_first_of("[<", q);
+        if (bracket == std::string::npos || bracket >= end) break;
+        uint32_t lo = hex_to_u32(lo_s), hi = hex_to_u32(hi_s);
+        if (cmap[bracket] == '[') {
+          size_t close = cmap.find(']', bracket);
+          size_t r = bracket + 1;
+          for (uint32_t c = lo; c <= hi && r < close; c++) {
+            std::string dst = read_hex(&r);
+            if (dst.empty()) break;
+            font->to_unicode[c] = utf16be_hex_to_utf8(dst);
+          }
+          q = close == std::string::npos ? end : close + 1;
+        } else {
+          std::string dst0 = read_hex(&q);
+          uint32_t base = hex_to_u32(dst0);
+          for (uint32_t c = lo; c <= hi && c - lo < 65536; c++) {
+            uint32_t cp = base + (c - lo);
+            char tmp[8];
+            snprintf(tmp, sizeof(tmp), "%04X", cp);
+            font->to_unicode[c] = utf16be_hex_to_utf8(tmp);
+          }
+        }
+      }
+      p = end + 10;
+    }
+  }
+
+  void build_pages() {
+    // Find the catalog -> page tree; fall back to collecting every /Page.
+    ObjPtr root;
+    for (auto& [num, obj] : objects_) {
+      ObjPtr o = resolve(obj);
+      ObjPtr t = resolve(get(o, "Type"));
+      if (t->is(Obj::kName) && t->str == "Catalog") {
+        root = resolve(get(o, "Pages"));
+        break;
+      }
+    }
+    if (root && (root->is(Obj::kDict))) {
+      collect_pages(root, make_null(), make_null());
+    }
+    if (pages_.empty()) {
+      for (auto& [num, obj] : objects_) {
+        ObjPtr o = resolve(obj);
+        ObjPtr t = resolve(get(o, "Type"));
+        if (t->is(Obj::kName) && t->str == "Page")
+          collect_pages(o, make_null(), make_null());
+      }
+    }
+  }
+
+  std::string data_;
+  std::map<int, ObjPtr> objects_;
+  std::vector<PageData> pages_;
+
+  friend class ContentInterp;
+};
+
+// ---------------------------------------------------------------------------
+// Content-stream interpretation (shared by text extraction and raster)
+// ---------------------------------------------------------------------------
+
+struct Mat {
+  // [a b c d e f]: x' = a x + c y + e ; y' = b x + d y + f
+  double a = 1, b = 0, c = 0, d = 1, e = 0, f = 0;
+  static Mat mul(const Mat& m, const Mat& n) {  // apply m then n
+    Mat r;
+    r.a = m.a * n.a + m.b * n.c;
+    r.b = m.a * n.b + m.b * n.d;
+    r.c = m.c * n.a + m.d * n.c;
+    r.d = m.c * n.b + m.d * n.d;
+    r.e = m.e * n.a + m.f * n.c + n.e;
+    r.f = m.e * n.b + m.f * n.d + n.f;
+    return r;
+  }
+};
+
+struct Rect {
+  double x, y, w, h;   // device space (pts, PDF origin bottom-left)
+  double gray;         // 0 = black fill
+};
+
+struct InterpResult {
+  std::vector<PositionedRun> runs;  // y in PDF space (bottom-up)
+  std::vector<Rect> rects;
+};
+
+class ContentInterp {
+ public:
+  static InterpResult run(const PageData& page) {
+    InterpResult res;
+    Lexer lex(page.content, 0);
+    std::vector<ObjPtr> stack;
+    std::vector<Mat> gstack;
+    Mat ctm;  // device = user for our purposes (pts)
+    Mat tm, tlm;
+    const Font* font = nullptr;
+    double font_size = 12, leading = 0, char_spacing = 0, word_spacing = 0;
+    double tz = 100;  // horizontal scale percent
+    double gray = 0;
+
+    auto popn = [&](int n) -> std::vector<ObjPtr> {
+      std::vector<ObjPtr> out;
+      for (int i = 0; i < n && !stack.empty(); i++) {
+        out.insert(out.begin(), stack.back());
+        stack.pop_back();
+      }
+      while (static_cast<int>(out.size()) < n) out.insert(out.begin(), make_null());
+      return out;
+    };
+
+    auto show_string = [&](const std::string& s) {
+      if (!font && page.fonts.size() == 1) font = &page.fonts.begin()->second;
+      Mat trm = Mat::mul(tm, ctm);
+      double size_dev = font_size * sqrt(fabs(trm.a * trm.d - trm.b * trm.c));
+      if (size_dev <= 0.1) size_dev = font_size;
+      PositionedRun runr;
+      runr.x = trm.e;
+      runr.y = trm.f;
+      runr.size = size_dev;
+      double advance = 0;
+      bool two_byte = font && font->two_byte;
+      size_t step = two_byte ? 2 : 1;
+      for (size_t i = 0; i + step <= s.size(); i += step) {
+        uint32_t code = two_byte
+            ? (static_cast<unsigned char>(s[i]) << 8) | static_cast<unsigned char>(s[i + 1])
+            : static_cast<unsigned char>(s[i]);
+        std::string uni;
+        if (font) {
+          auto it = font->to_unicode.find(code);
+          if (it != font->to_unicode.end()) uni = it->second;
+        }
+        if (uni.empty() && !two_byte && code >= 32 && code < 127)
+          uni = std::string(1, static_cast<char>(code));
+        if (uni.empty() && two_byte) uni = "?";
+        runr.text += uni;
+        double w = font ? font->default_width : 500;
+        if (font) {
+          auto it = font->widths.find(code);
+          if (it != font->widths.end()) w = it->second;
+        }
+        advance += (w / 1000.0 * font_size + char_spacing +
+                    (code == 32 ? word_spacing : 0)) * (tz / 100.0);
+      }
+      if (!runr.text.empty()) res.runs.push_back(runr);
+      Mat adv;
+      adv.e = advance;
+      tm = Mat::mul(adv, tm);
+    };
+
+    while (!lex.eof()) {
+      char ch = lex.peek();
+      if (ch == '/' || ch == '[' || ch == '(' || ch == '<' || ch == '+' ||
+          ch == '-' || ch == '.' || isdigit(static_cast<unsigned char>(ch))) {
+        stack.push_back(lex.parse());
+        continue;
+      }
+      std::string op = lex.next_token_raw();
+      if (op.empty()) break;
+      if (op == "BT") {
+        tm = Mat();
+        tlm = Mat();
+      } else if (op == "ET") {
+      } else if (op == "Tf") {
+        auto a = popn(2);
+        font_size = a[1]->as_num(12);
+        auto it = page.fonts.find(a[0]->str);
+        font = it == page.fonts.end() ? nullptr : &it->second;
+      } else if (op == "Td") {
+        auto a = popn(2);
+        Mat t;
+        t.e = a[0]->as_num();
+        t.f = a[1]->as_num();
+        tlm = Mat::mul(t, tlm);
+        tm = tlm;
+      } else if (op == "TD") {
+        auto a = popn(2);
+        leading = -a[1]->as_num();
+        Mat t;
+        t.e = a[0]->as_num();
+        t.f = a[1]->as_num();
+        tlm = Mat::mul(t, tlm);
+        tm = tlm;
+      } else if (op == "Tm") {
+        auto a = popn(6);
+        tlm.a = a[0]->as_num(1); tlm.b = a[1]->as_num(0);
+        tlm.c = a[2]->as_num(0); tlm.d = a[3]->as_num(1);
+        tlm.e = a[4]->as_num(0); tlm.f = a[5]->as_num(0);
+        tm = tlm;
+      } else if (op == "T*") {
+        Mat t;
+        t.f = -leading;
+        tlm = Mat::mul(t, tlm);
+        tm = tlm;
+      } else if (op == "TL") {
+        leading = popn(1)[0]->as_num();
+      } else if (op == "Tc") {
+        char_spacing = popn(1)[0]->as_num();
+      } else if (op == "Tw") {
+        word_spacing = popn(1)[0]->as_num();
+      } else if (op == "Tz") {
+        tz = popn(1)[0]->as_num(100);
+      } else if (op == "Tj") {
+        show_string(popn(1)[0]->str);
+      } else if (op == "'") {
+        Mat t;
+        t.f = -leading;
+        tlm = Mat::mul(t, tlm);
+        tm = tlm;
+        show_string(popn(1)[0]->str);
+      } else if (op == "\"") {
+        auto a = popn(3);
+        word_spacing = a[0]->as_num();
+        char_spacing = a[1]->as_num();
+        Mat t;
+        t.f = -leading;
+        tlm = Mat::mul(t, tlm);
+        tm = tlm;
+        show_string(a[2]->str);
+      } else if (op == "TJ") {
+        auto a = popn(1);
+        if (a[0]->is(Obj::kArray)) {
+          for (auto& el : a[0]->arr) {
+            if (el->is(Obj::kStr)) {
+              show_string(el->str);
+            } else if (el->is(Obj::kNum)) {
+              Mat adv;
+              adv.e = -el->num / 1000.0 * font_size * (tz / 100.0);
+              tm = Mat::mul(adv, tm);
+            }
+          }
+        }
+      } else if (op == "cm") {
+        auto a = popn(6);
+        Mat m;
+        m.a = a[0]->as_num(1); m.b = a[1]->as_num(0);
+        m.c = a[2]->as_num(0); m.d = a[3]->as_num(1);
+        m.e = a[4]->as_num(0); m.f = a[5]->as_num(0);
+        ctm = Mat::mul(m, ctm);
+      } else if (op == "q") {
+        gstack.push_back(ctm);
+      } else if (op == "Q") {
+        if (!gstack.empty()) {
+          ctm = gstack.back();
+          gstack.pop_back();
+        }
+      } else if (op == "re") {
+        auto a = popn(4);
+        pending_rects_.push_back(
+            {a[0]->as_num(), a[1]->as_num(), a[2]->as_num(), a[3]->as_num(), gray});
+      } else if (op == "f" || op == "F" || op == "f*" || op == "b" || op == "B") {
+        for (auto& r : pending_rects_) {
+          // Transform corners by ctm (axis-aligned approximation).
+          double x0 = r.x * ctm.a + r.y * ctm.c + ctm.e;
+          double y0 = r.x * ctm.b + r.y * ctm.d + ctm.f;
+          double x1 = (r.x + r.w) * ctm.a + (r.y + r.h) * ctm.c + ctm.e;
+          double y1 = (r.x + r.w) * ctm.b + (r.y + r.h) * ctm.d + ctm.f;
+          res.rects.push_back({std::min(x0, x1), std::min(y0, y1),
+                               fabs(x1 - x0), fabs(y1 - y0), r.gray});
+        }
+        pending_rects_.clear();
+      } else if (op == "n" || op == "S" || op == "s" || op == "W" || op == "W*") {
+        pending_rects_.clear();
+      } else if (op == "g" || op == "G") {
+        gray = popn(1)[0]->as_num(0);
+      } else if (op == "rg" || op == "RG") {
+        auto a = popn(3);
+        gray = 0.299 * a[0]->as_num() + 0.587 * a[1]->as_num() + 0.114 * a[2]->as_num();
+      } else if (op == "k" || op == "K") {
+        popn(4);
+        gray = 0;
+      } else {
+        // Unknown operator: clear operand stack (PDF operand counts vary).
+        stack.clear();
+      }
+    }
+    return res;
+  }
+
+ private:
+  static thread_local std::vector<Rect> pending_rects_;
+};
+
+thread_local std::vector<Rect> ContentInterp::pending_rects_;
+
+// ---------------------------------------------------------------------------
+// Text extraction: order runs into lines
+// ---------------------------------------------------------------------------
+
+static std::string extract_text(const PageData& page) {
+  InterpResult ir = ContentInterp::run(page);
+  if (ir.runs.empty()) return "";
+  std::vector<PositionedRun> runs = ir.runs;
+  std::stable_sort(runs.begin(), runs.end(), [](const auto& a, const auto& b) {
+    if (fabs(a.y - b.y) > std::max(a.size, b.size) * 0.5) return a.y > b.y;
+    return a.x < b.x;
+  });
+  std::string out;
+  double last_y = 1e18;
+  double line_size = 12;
+  for (auto& r : runs) {
+    if (last_y < 1e17 && last_y - r.y > line_size * 0.5) {
+      // New line; big gaps become blank lines (paragraphs).
+      out += (last_y - r.y > line_size * 1.8) ? "\n\n" : "\n";
+    } else if (!out.empty() && out.back() != '\n' && out.back() != ' ') {
+      out += ' ';
+    }
+    out += r.text;
+    last_y = r.y;
+    line_size = r.size > 0.1 ? r.size : line_size;
+  }
+  out += '\n';
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// Rasterization
+// ---------------------------------------------------------------------------
+
+static void draw_glyph(unsigned char* img, int W, int H, double x, double y,
+                       double size, char c, unsigned char gray) {
+  if (c < kGlyphFirst || c > kGlyphLast) return;
+  const uint8_t* glyph = kGlyphs[c - kGlyphFirst];
+  // Glyph cell is 8x16 for a nominal 16px em; scale to `size` pixels tall.
+  double sy = size / 12.0;          // cell height covering ascent+descent
+  double sx = sy;
+  int gw = static_cast<int>(ceil(kGlyphW * sx));
+  int gh = static_cast<int>(ceil(kGlyphH * sy));
+  if (gw < 1) gw = 1;
+  if (gh < 1) gh = 1;
+  int x0 = static_cast<int>(x);
+  int y0 = static_cast<int>(y - gh * 0.75);  // baseline ~3/4 down the cell
+  for (int py = 0; py < gh; py++) {
+    int iy = y0 + py;
+    if (iy < 0 || iy >= H) continue;
+    int srcy = static_cast<int>(py / sy);
+    if (srcy >= kGlyphH) srcy = kGlyphH - 1;
+    for (int px = 0; px < gw; px++) {
+      int ix = x0 + px;
+      if (ix < 0 || ix >= W) continue;
+      int srcx = static_cast<int>(px / sx);
+      if (srcx >= kGlyphW) srcx = kGlyphW - 1;
+      if (glyph[srcy] & (0x80 >> srcx)) {
+        unsigned char* p = img + (static_cast<long>(iy) * W + ix) * 3;
+        p[0] = gray;
+        p[1] = gray;
+        p[2] = gray;
+      }
+    }
+  }
+}
+
+static void render_page(const PageData& page, double dpi, unsigned char* out,
+                        int W, int H) {
+  memset(out, 0xff, static_cast<long>(W) * H * 3);
+  InterpResult ir = ContentInterp::run(page);
+  double s = dpi / 72.0;
+  for (auto& r : ir.rects) {
+    int x0 = std::max(0, static_cast<int>(r.x * s));
+    int y0 = std::max(0, static_cast<int>((page.height_pts - r.y - r.h) * s));
+    int x1 = std::min(W, static_cast<int>((r.x + r.w) * s + 0.5));
+    int y1 = std::min(H, static_cast<int>((page.height_pts - r.y) * s + 0.5));
+    unsigned char g = static_cast<unsigned char>(r.gray * 255);
+    for (int y = y0; y < y1; y++) {
+      unsigned char* row = out + (static_cast<long>(y) * W + x0) * 3;
+      for (int x = x0; x < x1; x++) {
+        row[0] = g; row[1] = g; row[2] = g;
+        row += 3;
+      }
+    }
+  }
+  for (auto& run : ir.runs) {
+    double x = run.x * s;
+    double y = (page.height_pts - run.y) * s;
+    double size_px = run.size * s;
+    double advance = size_px * 0.55;
+    for (char c : run.text) {
+      if (static_cast<unsigned char>(c) >= 0x80) continue;  // ASCII-only font
+      draw_glyph(out, W, H, x, y, size_px, c, 0);
+      x += advance;
+    }
+  }
+}
+
+}  // namespace vcpr
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* vcpr_open(const char* path) {
+  auto* doc = new vcpr::Document();
+  if (!doc->open(path)) {
+    delete doc;
+    return nullptr;
+  }
+  return doc;
+}
+
+void vcpr_close(void* handle) { delete static_cast<vcpr::Document*>(handle); }
+
+int vcpr_page_count(void* handle) {
+  return static_cast<vcpr::Document*>(handle)->page_count();
+}
+
+int vcpr_page_size_pts(void* handle, int page, double* w, double* h) {
+  auto* doc = static_cast<vcpr::Document*>(handle);
+  if (page < 0 || page >= doc->page_count()) return -1;
+  *w = doc->page(page).width_pts;
+  *h = doc->page(page).height_pts;
+  return 0;
+}
+
+// Renders one page at `dpi` into out (RGB8, row-major).  Returns 0 and the
+// pixel dims, or -1 on error / insufficient buffer.
+int vcpr_render_page(void* handle, int page, double dpi, unsigned char* out,
+                     long out_cap, int* out_w, int* out_h) {
+  auto* doc = static_cast<vcpr::Document*>(handle);
+  if (page < 0 || page >= doc->page_count()) return -1;
+  const auto& pd = doc->page(page);
+  int W = static_cast<int>(pd.width_pts * dpi / 72.0 + 0.5);
+  int H = static_cast<int>(pd.height_pts * dpi / 72.0 + 0.5);
+  if (W <= 0 || H <= 0 || static_cast<long>(W) * H * 3 > out_cap) return -1;
+  vcpr::render_page(pd, dpi, out, W, H);
+  *out_w = W;
+  *out_h = H;
+  return 0;
+}
+
+// Batched render: pages [first, last] (0-based inclusive) with `n_threads`
+// workers into one contiguous buffer at fixed per-page stride; per-page dims
+// land in dims[2*i], dims[2*i+1].  Returns number of pages rendered.
+int vcpr_render_batch(void* handle, int first, int last, double dpi,
+                      unsigned char* out, long page_stride, int* dims,
+                      int n_threads) {
+  auto* doc = static_cast<vcpr::Document*>(handle);
+  first = std::max(0, first);
+  last = std::min(doc->page_count() - 1, last);
+  if (last < first) return 0;
+  int n = last - first + 1;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> workers;
+  std::mutex next_mu;
+  int next = 0;
+  auto work = [&]() {
+    while (true) {
+      int i;
+      {
+        std::lock_guard<std::mutex> lock(next_mu);
+        if (next >= n) return;
+        i = next++;
+      }
+      int w = 0, h = 0;
+      int rc = vcpr_render_page(handle, first + i, dpi,
+                                out + static_cast<long>(i) * page_stride,
+                                page_stride, &w, &h);
+      dims[2 * i] = rc == 0 ? w : 0;
+      dims[2 * i + 1] = rc == 0 ? h : 0;
+    }
+  };
+  int nw = std::min(n_threads, n);
+  for (int t = 0; t < nw; t++) workers.emplace_back(work);
+  for (auto& t : workers) t.join();
+  return n;
+}
+
+// Extracts the text layer of a page (UTF-8).  Returns bytes written (excl.
+// NUL), or -1 on error.  Truncates to cap-1.
+long vcpr_extract_text(void* handle, int page, char* out, long cap) {
+  auto* doc = static_cast<vcpr::Document*>(handle);
+  if (page < 0 || page >= doc->page_count()) return -1;
+  std::string text = vcpr::extract_text(doc->page(page));
+  long n = std::min(static_cast<long>(text.size()), cap - 1);
+  memcpy(out, text.data(), n);
+  out[n] = '\0';
+  return n;
+}
+
+}  // extern "C"
