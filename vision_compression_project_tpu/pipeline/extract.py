@@ -1,0 +1,233 @@
+"""PDF -> per-page structured JSON extraction pipeline.
+
+Same public contract and artifact schemas as the reference
+(reference: backend/app/pipeline/pdf_extract.py:210-363 —
+page_###.json with guaranteed {page_number, markdown, entities, summary},
+skip-if-exists resume, failed-page tracking, stats dict
+{pages_total, processed_pages, failed_pages}), rebuilt TPU-first:
+
+* page count from the PDF page tree (C++ engine) instead of the 1..1000
+  conversion probe (reference pdf_extract.py:243-295);
+* rasterization happens for a whole page range at once in the C++ thread
+  pool instead of one Poppler subprocess per page (pdf_extract.py:107-122);
+* the 5-thread Gemini fan-out (pdf_extract.py:311-333) becomes a device
+  *batch* through the Pallas preprocess kernels and the VLM;
+* PDFs with a text layer take the deterministic text engine (no model);
+  image-only pages take the VLM engine.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import RUNTIME
+from ..raster import PdfDocument
+from .textmd import structure_page
+
+logger = logging.getLogger(__name__)
+
+_PAGE_JSON = "page_{:03d}.json"
+_PAGE_PNG = "page_{:03d}.png"
+
+
+def _get_runner():
+    """Lazy VLM runner (model init is expensive; serving keeps one warm)."""
+    from ..models import VLMRunner, get_preset
+
+    global _RUNNER
+    try:
+        return _RUNNER
+    except NameError:
+        _RUNNER = VLMRunner(get_preset(RUNTIME.model_preset))
+        return _RUNNER
+
+
+def _save_png(img: np.ndarray, path: Path) -> None:
+    from PIL import Image
+
+    Image.fromarray(img).save(path)
+
+
+def extract_pdf_to_page_jsons(
+    pdf_path,
+    out_pages_dir,
+    images_dir=None,
+    dpi: int = 150,
+    start_page: int = 1,
+    end_page: Optional[int] = None,
+    overwrite: bool = False,
+    engine: Optional[str] = None,
+    batch_size: Optional[int] = None,
+    runner=None,
+    save_images: bool = True,
+) -> Dict:
+    """Extract pages [start_page, end_page] (1-indexed, inclusive) to
+    page_###.json files.  Returns {pages_total, processed_pages, failed_pages}
+    exactly like the reference (pdf_extract.py:359-363)."""
+    pdf_path = Path(pdf_path)
+    out_pages_dir = Path(out_pages_dir)
+    out_pages_dir.mkdir(parents=True, exist_ok=True)
+    if images_dir is not None:
+        images_dir = Path(images_dir)
+        images_dir.mkdir(parents=True, exist_ok=True)
+    engine = engine or RUNTIME.extract_engine
+    batch_size = batch_size or RUNTIME.extract_batch_size
+
+    processed_pages: List[int] = []
+    failed_pages: List[Dict] = []
+
+    with PdfDocument(pdf_path) as doc:
+        pages_total = doc.page_count
+        last = pages_total if end_page is None else min(end_page, pages_total)
+        first = max(1, start_page)
+        todo: List[int] = []
+        for page in range(first, last + 1):
+            json_path = out_pages_dir / _PAGE_JSON.format(page)
+            if json_path.exists() and not overwrite:
+                processed_pages.append(page)  # resume semantics
+                continue
+            todo.append(page)
+
+        if engine == "auto":
+            engine = "text" if doc.has_text_layer() else "vlm"
+        logger.info(
+            "extract: %s pages_total=%d todo=%d engine=%s",
+            pdf_path.name, pages_total, len(todo), engine,
+        )
+
+        for i in range(0, len(todo), batch_size):
+            chunk = todo[i : i + batch_size]
+            try:
+                records = _extract_chunk(
+                    doc, chunk, dpi, engine, images_dir, runner, save_images
+                )
+            except Exception as exc:  # batch-level failure: mark all pages
+                logger.error("extract batch failed: %s", exc, exc_info=True)
+                for page in chunk:
+                    failed_pages.append({"page": page, "error": str(exc)})
+                continue
+            for page, record in zip(chunk, records):
+                try:
+                    json_path = out_pages_dir / _PAGE_JSON.format(page)
+                    json_path.write_text(
+                        json.dumps(record, indent=2, ensure_ascii=False),
+                        encoding="utf-8",
+                    )
+                    processed_pages.append(page)
+                except Exception as exc:
+                    failed_pages.append({"page": page, "error": str(exc)})
+
+    processed_pages.sort()
+    return {
+        "pages_total": pages_total,
+        "processed_pages": processed_pages,
+        "failed_pages": failed_pages,
+    }
+
+
+def _extract_chunk(
+    doc: PdfDocument,
+    pages: List[int],
+    dpi: int,
+    engine: str,
+    images_dir: Optional[Path],
+    runner,
+    save_images: bool,
+) -> List[Dict]:
+    """Process a contiguous-ish set of 1-indexed pages as one device batch."""
+    rasters = None
+    if engine == "vlm" or (images_dir is not None and save_images):
+        rasters = {
+            page: doc.render_page(page - 1, dpi=dpi) for page in pages
+        }
+        if len(pages) > 1:
+            lo, hi = min(pages) - 1, max(pages) - 1
+            if hi - lo + 1 == len(pages):  # contiguous: use the batch path
+                batch = doc.render_batch(lo, hi, dpi=dpi)
+                rasters = {lo + 1 + j: img for j, img in enumerate(batch)}
+    if images_dir is not None and save_images and rasters:
+        for page, img in rasters.items():
+            _save_png(img, images_dir / _PAGE_PNG.format(page))
+
+    if engine == "text":
+        return [
+            structure_page(doc.extract_text(page - 1), page) for page in pages
+        ]
+
+    if engine == "vlm":
+        runner = runner or _get_runner()
+        # Pad rasters to a uniform shape for the device batch; the on-device
+        # resize normalizes dimensions anyway, so pad host-side only when
+        # page sizes differ within the batch.
+        shapes = {rasters[p].shape for p in pages}
+        if len(shapes) == 1:
+            stacked = np.stack([rasters[p] for p in pages])
+        else:
+            h = max(s[0] for s in shapes)
+            w = max(s[1] for s in shapes)
+            stacked = np.full((len(pages), h, w, 3), 255, np.uint8)
+            for j, p in enumerate(pages):
+                img = rasters[p]
+                stacked[j, : img.shape[0], : img.shape[1]] = img
+        return runner.extract_batch(stacked, page_numbers=pages)
+
+    raise ValueError(f"unknown extract engine {engine!r}")
+
+
+# ---------------------------------------------------------------------------
+# Batch-CLI artifacts (reference: scripts/extract_pdf_with_gemini.py)
+# ---------------------------------------------------------------------------
+
+
+def create_manifest(
+    pdf_path,
+    manifest_path,
+    stats: Dict,
+    dpi: int,
+    start_page: int,
+    end_page: Optional[int],
+    model_name: str,
+) -> Dict:
+    """manifest.json with the exact key set of the reference CLI
+    (reference: scripts/extract_pdf_with_gemini.py:205-223)."""
+    manifest = {
+        "pdf_path": str(pdf_path),
+        "total_pages": stats["pages_total"],
+        "processed_pages": stats["processed_pages"],
+        "failed_pages": stats["failed_pages"],
+        "model_name": model_name,
+        "dpi": dpi,
+        "start_page": start_page,
+        "end_page": end_page if end_page is not None else stats["pages_total"],
+        "timestamp": datetime.now().isoformat(),
+    }
+    Path(manifest_path).write_text(
+        json.dumps(manifest, indent=2, ensure_ascii=False), encoding="utf-8"
+    )
+    return manifest
+
+
+def create_combined_markdown(pages_dir, out_path) -> Path:
+    """combined.md: '# Page N' + markdown-or-raw + '---' separators
+    (reference: scripts/extract_pdf_with_gemini.py:226-254)."""
+    from .ingest import parse_json_file
+
+    pages_dir = Path(pages_dir)
+    sections = []
+    for json_path in sorted(pages_dir.glob("page_*.json")):
+        try:
+            data = parse_json_file(json_path)
+        except Exception:
+            continue
+        page_no = data.get("page_number", 0)
+        body = data.get("markdown") or data.get("raw_response") or ""
+        sections.append(f"# Page {page_no}\n\n{body}\n")
+    out_path = Path(out_path)
+    out_path.write_text("\n---\n\n".join(sections), encoding="utf-8")
+    return out_path

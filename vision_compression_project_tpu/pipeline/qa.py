@@ -1,0 +1,231 @@
+"""Question answering: on-device retrieval + cited answer composition.
+
+Same public contract as the reference (reference: backend/app/pipeline/
+qa.py:220-299 — answer_question(doc_id, question, top_k,
+max_chars_per_page, model, manifest_path) -> {answer_md, retrieved}), with
+identical surface behavior: the evidence-pack format
+'[Page N | memory_id=...]\\n<content truncated to max_chars + "... "
+"[truncated]">' joined by '\\n\\n---\\n\\n' (qa.py:159-186), the
+'Not found in provided pages.' sentinel on empty retrieval (qa.py:265-278),
+mandatory inline citations '(doc_id p.N)' (qa.py:191-204), and 250-char
+excerpts (qa.py:283-296).
+
+Retrieval is one masked-matmul top-k on device (no HTTPS, no over-fetch).
+Answering has two engines: 'extractive' (deterministic — evidence sentences
+ranked by embedding similarity, composed into cited markdown; exact
+citations by construction) and 'lm' (the on-mesh decoder, for trained
+checkpoints).  'auto' currently selects extractive: an untrained LM cannot
+answer, and extractive answers are correct and cited by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import (
+    EXCERPT_CHARS,
+    RUNTIME,
+    TRUNCATION_MARKER,
+)
+
+logger = logging.getLogger(__name__)
+
+NOT_FOUND = "Not found in provided pages."
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+_STOPWORDS = frozenset(
+    "a an and are as at be by for from has have how in is it its of on or "
+    "that the this to was we were what when where which who why will with".split()
+)
+
+
+def _get_embedder():
+    from .ingest import _get_embedder as impl
+
+    return impl()
+
+
+def _extract_result_info(result, manifest: Optional[Dict]):
+    """(memory_id, page, content) from a search result, using the manifest
+    reverse lookup when metadata lacks the page
+    (reference: qa.py:102-156)."""
+    if isinstance(result, dict):
+        memory_id = result.get("id") or result.get("memory_id", "")
+        metadata = result.get("metadata", {}) or {}
+        content = result.get("content") or result.get("text")
+    else:  # duck-typed objects
+        memory_id = getattr(result, "id", "")
+        metadata = getattr(result, "metadata", {}) or {}
+        content = getattr(result, "content", None) or getattr(result, "text", None)
+
+    page_number = metadata.get("page")
+    if page_number is None and manifest:
+        for entry in manifest.get("pages", []):
+            if entry.get("memory_id") == memory_id:
+                page_number = entry.get("page")
+                break
+    if page_number is None:
+        return None
+    if content is None:
+        content = str(result) if result else ""
+    elif not isinstance(content, str):
+        content = str(content)
+    if not content.strip():
+        return None
+    return memory_id, page_number, content
+
+
+def _build_evidence_pack(
+    results: List, manifest: Optional[Dict], doc_id: str, max_chars_per_page: int
+) -> str:
+    sections = []
+    for result in results:
+        info = _extract_result_info(result, manifest)
+        if info is None:
+            continue
+        memory_id, page_number, content = info
+        if len(content) > max_chars_per_page:
+            content = content[:max_chars_per_page] + TRUNCATION_MARKER
+        sections.append(f"[Page {page_number} | memory_id={memory_id}]\n{content}")
+    return "\n\n---\n\n".join(sections)
+
+
+def rewrite_query(question: str, max_phrases: int = 3) -> List[str]:
+    """Deterministic query rewrite: content-word phrases (the CLI-only
+    feature the reference implemented with an extra Gemini round-trip,
+    reference scripts/qa_with_supermemory_and_gemini.py:189-232)."""
+    words = re.findall(r"[A-Za-z0-9][A-Za-z0-9'-]*", question.lower())
+    content = [w for w in words if w not in _STOPWORDS and len(w) > 1]
+    if not content:
+        return [question]
+    phrases = [" ".join(content)]
+    if len(content) > 3:
+        phrases.append(" ".join(content[: len(content) // 2]))
+        phrases.append(" ".join(content[len(content) // 2 :]))
+    return phrases[:max_phrases]
+
+
+def _compose_extractive_answer(
+    question: str,
+    results: List[Dict],
+    manifest: Optional[Dict],
+    doc_id: str,
+    max_chars_per_page: int,
+    embedder,
+    max_claims: int = 5,
+) -> str:
+    """Rank evidence sentences by embedding similarity to the question and
+    compose cited markdown.  Citations are correct by construction: each
+    sentence cites the page it came from."""
+    candidates = []  # (sentence, page)
+    for result in results:
+        info = _extract_result_info(result, manifest)
+        if info is None:
+            continue
+        _, page_number, content = info
+        content = content[:max_chars_per_page]
+        for sentence in _SENT_RE.split(" ".join(content.split())):
+            sentence = sentence.strip()
+            if 20 <= len(sentence) <= 500:
+                candidates.append((sentence, page_number))
+    if not candidates:
+        return NOT_FOUND
+    texts = [question] + [c[0] for c in candidates]
+    vecs = embedder.embed(texts)
+    sims = vecs[1:] @ vecs[0]
+    order = np.argsort(-sims)
+    chosen = []
+    seen = set()
+    for idx in order:
+        sentence, page = candidates[int(idx)]
+        key = sentence.lower()[:80]
+        if key in seen:
+            continue
+        seen.add(key)
+        chosen.append((sentence, page, float(sims[int(idx)])))
+        if len(chosen) >= max_claims:
+            break
+    if not chosen or chosen[0][2] <= 0.0:
+        return NOT_FOUND
+    lines = []
+    for sentence, page, _ in chosen:
+        lines.append(f"- {sentence} ({doc_id} p.{page})")
+    pages_cited = sorted({page for _, page, _ in chosen})
+    cite_all = ", ".join(f"p.{p}" for p in pages_cited)
+    header = f"Based on the retrieved pages ({doc_id} {cite_all}):\n"
+    return header + "\n" + "\n".join(lines)
+
+
+def answer_question(
+    doc_id: str,
+    question: str,
+    top_k: int = 8,
+    max_chars_per_page: int = 1500,
+    model: Optional[str] = None,
+    manifest_path: Optional[Path] = None,
+    store=None,
+    embedder=None,
+    runner=None,
+    engine: Optional[str] = None,
+) -> Dict:
+    """Retrieve + answer.  Returns {"answer_md": str, "retrieved": [
+    {"page", "memory_id", "excerpt"}]} exactly like the reference
+    (qa.py:283-299)."""
+    embedder = embedder or _get_embedder()
+    if store is None:
+        from ..index import get_default_store
+
+        store = get_default_store(dim=embedder.dim)
+    engine = engine or RUNTIME.answer_engine
+    if engine == "auto":
+        engine = "extractive"
+
+    manifest = None
+    if manifest_path and Path(manifest_path).exists():
+        try:
+            manifest = json.loads(Path(manifest_path).read_text(encoding="utf-8"))
+        except Exception:
+            pass
+
+    query_vec = embedder.embed([question])
+    results = store.search(query_vec, top_k=top_k, doc_id=doc_id)[0]
+    if not results:
+        return {"answer_md": NOT_FOUND, "retrieved": []}
+
+    evidence_pack = _build_evidence_pack(results, manifest, doc_id, max_chars_per_page)
+    if not evidence_pack:
+        return {"answer_md": NOT_FOUND, "retrieved": []}
+
+    if engine == "lm":
+        if runner is None:
+            from .extract import _get_runner
+
+            runner = _get_runner()
+        answer_md = runner.answer(question, evidence_pack)
+        if not answer_md.strip():
+            answer_md = NOT_FOUND
+    elif engine == "extractive":
+        answer_md = _compose_extractive_answer(
+            question, results, manifest, doc_id, max_chars_per_page, embedder
+        )
+    else:
+        raise ValueError(f"unknown answer engine {engine!r}")
+
+    retrieved = []
+    for result in results:
+        info = _extract_result_info(result, manifest)
+        if info:
+            memory_id, page_number, content = info
+            retrieved.append(
+                {
+                    "page": page_number,
+                    "memory_id": memory_id,
+                    "excerpt": content[:EXCERPT_CHARS],
+                }
+            )
+    return {"answer_md": answer_md, "retrieved": retrieved}
