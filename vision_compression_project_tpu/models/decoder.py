@@ -106,9 +106,12 @@ class Decoder(nn.Module):
         self, x_emb: jnp.ndarray, kv_len: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         """Full-sequence forward: (B, S, dim) embeddings -> (B, S, vocab)."""
-        h = x_emb
+        from ..parallel.sharding import constrain
+
+        h = constrain(x_emb, ("batch", "seq", "embed"))
         for block in self.blocks:
             h = block(h, kv_len=kv_len)
+            h = constrain(h, ("batch", "seq", "embed"))
         return self.hidden_to_logits(h)
 
     def prefill(

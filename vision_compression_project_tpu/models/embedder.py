@@ -113,7 +113,7 @@ class NeuralEmbedderModule(nn.Module):
         )
         emb = nn.Dense(
             cfg.dim, use_bias=False, dtype=jnp.float32,
-            kernel_init=dense_init("embed", "embed"), name="out",
+            kernel_init=dense_init("embed", "embed_out"), name="out",
         )(pooled)
         return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6)
 

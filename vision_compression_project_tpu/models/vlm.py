@@ -51,7 +51,7 @@ class OpticalVLM(nn.Module):
             self.cfg.decoder.dim,
             use_bias=False,
             dtype=_dtype(self.cfg.decoder.dtype),
-            kernel_init=dense_init("embed", "embed"),
+            kernel_init=dense_init("vit_embed", "embed"),
         )
         self.decoder = Decoder(self.cfg.decoder)
 

@@ -22,6 +22,8 @@ LOGICAL_RULES = (
     ("batch", AXIS_DATA),          # page/example batch
     ("seq", AXIS_SEQ),             # activation sequence (SP/CP)
     ("embed", None),               # residual stream: replicated
+    ("vit_embed", None),           # vision-encoder output width
+    ("embed_out", None),           # projection output width
     ("heads", AXIS_MODEL),         # attention heads (TP)
     ("kv_heads", AXIS_MODEL),
     ("head_dim", None),
@@ -72,5 +74,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def constrain(x, logical_axes: Sequence[Optional[str]]):
-    """`with_logical_constraint` under the active mesh & rules (no-op outside)."""
-    return nn.with_logical_constraint(x, tuple(logical_axes), fallback_rules=LOGICAL_RULES)
+    """Sharding constraint by logical names under the active mesh context;
+    no-op when no mesh is active (single-chip serving, CPU tests).
+
+    This is how sequence parallelism (SP) materializes: activations
+    constrained to ('batch', 'seq', 'embed') are physically sharded over the
+    mesh seq axis whenever that axis is >1."""
+    from jax.interpreters import pxla
+
+    mesh = pxla.thread_resources.env.physical_mesh
+    if mesh.empty:
+        return x
+    spec = nn.logical_to_mesh_axes(tuple(logical_axes), rules=LOGICAL_RULES)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -1,0 +1,45 @@
+"""Orbax checkpointing for model/optimizer state.
+
+The reference's only 'checkpointing' was file-existence resume over
+artifacts (reference: backend/app/pipeline/pdf_extract.py:92-100); model
+state had nothing to checkpoint (cloud APIs).  Here trained weights persist
+via Orbax and are restored into VLMRunner / NeuralEmbedder pytrees.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(ckpt_dir, state: Any, step: Optional[int] = None) -> Path:
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    if step is None:
+        step = int(jax.device_get(getattr(state, "step", 0)))
+    path = ckpt_dir / f"step_{step:08d}"
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(path, state, force=True)
+    checkpointer.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(ckpt_dir) -> Optional[Path]:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = sorted(p for p in ckpt_dir.glob("step_*") if p.is_dir())
+    return steps[-1] if steps else None
+
+
+def restore_checkpoint(ckpt_dir, target: Any) -> Optional[Any]:
+    """Restore the latest checkpoint into the structure of `target`
+    (a pytree of arrays, e.g. an abstract state from eval_shape)."""
+    path = latest_checkpoint(ckpt_dir)
+    if path is None:
+        return None
+    checkpointer = ocp.StandardCheckpointer()
+    return checkpointer.restore(path, target)
