@@ -28,7 +28,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    kv_len_ref,  # SMEM (1,) int32: valid kv length for this batch element
+    kv_len_ref,  # scalar-prefetch (B,) int32: valid kv length per batch element
     q_ref,       # (1, 1, bq, d)
     k_ref,       # (1, 1, s, d)
     v_ref,       # (1, 1, s, d)
@@ -42,7 +42,7 @@ def _flash_kernel(
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
     iq = pl.program_id(2)
-    kv_len = kv_len_ref[0]
+    kv_len = kv_len_ref[pl.program_id(0)]
 
     q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, d)
 
@@ -115,33 +115,32 @@ def flash_attention(
     block_k = min(block_k, sk)
     if kv_len is None:
         kv_len = jnp.full((b,), sk, jnp.int32)
-    kv_len = kv_len.astype(jnp.int32)
+    kv_len = kv_len.astype(jnp.int32).reshape(b)
 
     grid = (b, h, cdiv(sq, block_q))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda ib, ih, iq: (ib,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, 1, block_q, d),
-                lambda ib, ih, iq: (ib, ih, iq, 0),
+                lambda ib, ih, iq, *_: (ib, ih, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, sk, d),
-                lambda ib, ih, iq: (ib, ih // group, 0, 0),
+                lambda ib, ih, iq, *_: (ib, ih // group, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, sk, d),
-                lambda ib, ih, iq: (ib, ih // group, 0, 0),
+                lambda ib, ih, iq, *_: (ib, ih // group, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d),
-            lambda ib, ih, iq: (ib, ih, iq, 0),
+            lambda ib, ih, iq, *_: (ib, ih, iq, 0),
             memory_space=pltpu.VMEM,
         ),
     )
