@@ -28,6 +28,7 @@ import numpy as np
 
 from ..config import RUNTIME
 from ..raster import PdfDocument
+from ..utils.metrics import METRICS
 from .textmd import structure_page
 
 logger = logging.getLogger(__name__)
@@ -104,9 +105,11 @@ def extract_pdf_to_page_jsons(
         for i in range(0, len(todo), batch_size):
             chunk = todo[i : i + batch_size]
             try:
-                records = _extract_chunk(
-                    doc, chunk, dpi, engine, images_dir, runner, save_images
-                )
+                with METRICS.timer("extract.batch"):
+                    records = _extract_chunk(
+                        doc, chunk, dpi, engine, images_dir, runner, save_images
+                    )
+                METRICS.count("extract.pages", len(chunk))
             except Exception as exc:  # batch-level failure: mark all pages
                 logger.error("extract batch failed: %s", exc, exc_info=True)
                 for page in chunk:

@@ -22,6 +22,7 @@ from typing import Dict, List, Optional
 
 from ..config import RUNTIME
 from ..utils import safe_json_loads
+from ..utils.metrics import METRICS
 
 logger = logging.getLogger(__name__)
 
@@ -140,8 +141,10 @@ def ingest_pages_dir(
     for i in range(0, len(todo), batch_size):
         chunk = todo[i : i + batch_size]
         try:
-            embeddings = embedder.embed([c[2] for c in chunk])
-            memory_ids = store.add(embeddings, [c[3] for c in chunk])
+            with METRICS.timer("ingest.batch"):
+                embeddings = embedder.embed([c[2] for c in chunk])
+                memory_ids = store.add(embeddings, [c[3] for c in chunk])
+            METRICS.count("ingest.pages", len(chunk))
         except Exception as exc:
             logger.error("ingest batch failed: %s", exc, exc_info=True)
             for page_number, *_ in chunk:

@@ -33,6 +33,7 @@ from ..config import (
     RUNTIME,
     TRUNCATION_MARKER,
 )
+from ..utils.metrics import METRICS
 
 logger = logging.getLogger(__name__)
 
@@ -192,8 +193,10 @@ def answer_question(
         except Exception:
             pass
 
-    query_vec = embedder.embed([question])
-    results = store.search(query_vec, top_k=top_k, doc_id=doc_id)[0]
+    with METRICS.timer("qa.retrieve"):
+        query_vec = embedder.embed([question])
+        results = store.search(query_vec, top_k=top_k, doc_id=doc_id)[0]
+    METRICS.count("qa.queries", 1)
     if not results:
         return {"answer_md": NOT_FOUND, "retrieved": []}
 

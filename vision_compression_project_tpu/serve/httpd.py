@@ -312,6 +312,10 @@ class VCPRequestHandler(BaseHTTPRequestHandler):
             self._send_json(200, {"ok": True})
         elif self.path == "/":
             self._send_json(200, API_INFO)
+        elif self.path == "/metrics":
+            from ..utils.metrics import METRICS
+
+            self._send_json(200, METRICS.snapshot())
         else:
             self._send_json(404, {"detail": "Not Found"})
 
