@@ -44,36 +44,29 @@ def main() -> None:
     ]
     pdf = make_pdf(pages, tmp / "bench.pdf")
 
+    import json as json_mod
+
+    from vision_compression_project_tpu.pipeline import extract
+
     runner = VLMRunner(get_preset("base"), max_new_default=MAX_NEW)
 
     with PdfDocument(pdf) as doc:
         assert doc.page_count == N_PAGES
-        # Rasterize everything once up front to measure, then again inside
-        # the timed loop (raster is part of the ingest path).
-        def run_all(timed: bool) -> float:
-            t0 = time.perf_counter()
-            done = 0
-            while done < N_PAGES:
-                hi = min(done + BATCH - 1, N_PAGES - 1)
-                rasters = doc.render_batch(done, hi, dpi=DPI)
-                import numpy as np
 
-                stacked = np.stack(rasters)
-                records = runner.extract_batch(
-                    stacked,
-                    page_numbers=list(range(done + 1, hi + 2)),
-                    max_new=MAX_NEW,
-                )
-                assert len(records) == hi - done + 1
-                for r in records:
-                    assert set(r) == {
-                        "page_number", "markdown", "entities", "summary"
-                    }
-                done = hi + 1
-            return time.perf_counter() - t0
+    def run_all(out_dir: Path) -> float:
+        t0 = time.perf_counter()
+        stats = extract.extract_pdf_to_page_jsons(
+            pdf, out_dir, images_dir=None, dpi=DPI, engine="vlm",
+            batch_size=BATCH, runner=runner, save_images=False,
+        )
+        elapsed = time.perf_counter() - t0
+        assert len(stats["processed_pages"]) == N_PAGES, stats
+        record = json_mod.loads((out_dir / "page_001.json").read_text())
+        assert set(record) == {"page_number", "markdown", "entities", "summary"}
+        return elapsed
 
-        run_all(timed=False)  # warmup: compiles every stage
-        elapsed = run_all(timed=True)
+    run_all(tmp / "warmup")  # compiles every stage
+    elapsed = run_all(tmp / "timed")
 
     pages_per_sec = N_PAGES / elapsed
     print(

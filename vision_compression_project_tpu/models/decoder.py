@@ -54,8 +54,8 @@ class DecoderBlock(nn.Module):
         x = x + self.attn(self.norm1(x), kv_len=kv_len)
         return x + self.mlp(self.norm2(x))
 
-    def prefill(self, x, kv_len=None):
-        h, cache = self.attn.prefill(self.norm1(x), kv_len=kv_len)
+    def prefill(self, x, kv_len=None, cache_len=None):
+        h, cache = self.attn.prefill(self.norm1(x), kv_len=kv_len, cache_len=cache_len)
         x = x + h
         return x + self.mlp(self.norm2(x)), cache
 
@@ -115,13 +115,16 @@ class Decoder(nn.Module):
         return self.hidden_to_logits(h)
 
     def prefill(
-        self, x_emb: jnp.ndarray, kv_len: Optional[jnp.ndarray] = None
+        self,
+        x_emb: jnp.ndarray,
+        kv_len: Optional[jnp.ndarray] = None,
+        cache_len: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, List[dict]]:
-        """Returns (logits (B,S,vocab), caches padded to max_seq)."""
+        """Returns (logits (B,S,vocab), caches padded to cache_len/max_seq)."""
         h = x_emb
         caches = []
         for block in self.blocks:
-            h, cache = block.prefill(h, kv_len=kv_len)
+            h, cache = block.prefill(h, kv_len=kv_len, cache_len=cache_len)
             caches.append(cache)
         return self.hidden_to_logits(h), caches
 

@@ -142,10 +142,18 @@ class Attention(nn.Module):
         return self.wo(o)
 
     def prefill(
-        self, x: jnp.ndarray, kv_len: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        kv_len: Optional[jnp.ndarray] = None,
+        cache_len: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, dict]:
-        """Like __call__ but also returns a KV cache padded to max_seq."""
+        """Like __call__ but also returns a KV cache padded to `cache_len`.
+
+        cache_len defaults to max_seq; generation right-sizes it to
+        prompt+max_new so decode-step cache traffic is proportional to the
+        actual generation budget, not the model's maximum context."""
         b, s, _ = x.shape
+        cache_len = cache_len or self.max_seq
         q = self._heads_first(self.wq(x))
         k = self._heads_first(self.wk(x))
         v = self._heads_first(self.wv(x))
@@ -157,7 +165,7 @@ class Attention(nn.Module):
             o = flash_attention(q, k, v, kv_len=kv_len, causal=self.causal)
         else:
             o = mha_reference(q, k, v, kv_len=kv_len, causal=self.causal)
-        pad = self.max_seq - s
+        pad = cache_len - s
         cache = {
             "k": jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0))),
             "v": jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0))),
@@ -168,19 +176,25 @@ class Attention(nn.Module):
     def decode(
         self, x: jnp.ndarray, cache: dict, pos: jnp.ndarray
     ) -> Tuple[jnp.ndarray, dict]:
-        """x: (B, 1, dim); pos: (B,) current position per batch element.
+        """x: (B, 1, dim); pos: () scalar or (B,) positions.
 
         Single-token step: XLA einsums against the HBM-resident cache (a
         bq=1 Pallas matmul cannot feed the MXU, see ops/attention.py).
-        """
+        A scalar `pos` (lockstep batch — the common serving case, where all
+        prompts share one padded length) takes the fast path: the new k/v
+        row lands via dynamic_update_slice (in-place on the donated cache)
+        instead of a full-cache masked rewrite."""
         b = x.shape[0]
+        cache_len = cache["k"].shape[2]
+        lockstep = pos.ndim == 0
+        pos_b = pos if not lockstep else jnp.broadcast_to(pos, (b,))
         q = self._heads_first(self.wq(x))  # (B,H,1,D)
         k_new = self._heads_first(self.wk(x))  # (B,Hkv,1,D)
         v_new = self._heads_first(self.wv(x))
         if self.rope:
             # Per-element position: gather the rope rows.
-            cos = jnp.take(self.rope_cos, pos, axis=0)[:, None, None, :]  # (B,1,1,D/2)
-            sin = jnp.take(self.rope_sin, pos, axis=0)[:, None, None, :]
+            cos = jnp.take(self.rope_cos, pos_b, axis=0)[:, None, None, :]
+            sin = jnp.take(self.rope_sin, pos_b, axis=0)[:, None, None, :]
             d2 = self.head_dim // 2
 
             def rot(t):
@@ -194,19 +208,22 @@ class Attention(nn.Module):
                 )
 
             q, k_new, v_new = rot(q), rot(k_new), v_new
-        # Scatter new k/v at pos.
-        onehot = jax.nn.one_hot(pos, self.max_seq, dtype=cache["k"].dtype)  # (B,S)
-        keep_old = (1 - onehot)[:, None, :, None]
-        k = cache["k"] * keep_old + jnp.einsum("bhod,bs->bhsd", k_new, onehot)
-        v = cache["v"] * keep_old + jnp.einsum("bhod,bs->bhsd", v_new, onehot)
+        if lockstep:
+            k = jax.lax.dynamic_update_slice(cache["k"], k_new, (0, 0, pos, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v_new, (0, 0, pos, 0))
+        else:
+            onehot = jax.nn.one_hot(pos_b, cache_len, dtype=cache["k"].dtype)
+            keep_old = (1 - onehot)[:, None, :, None]
+            k = cache["k"] * keep_old + jnp.einsum("bhod,bs->bhsd", k_new, onehot)
+            v = cache["v"] * keep_old + jnp.einsum("bhod,bs->bhsd", v_new, onehot)
         group = self.heads // self.kv_heads
         kr = jnp.repeat(k, group, axis=1)
         vr = jnp.repeat(v, group, axis=1)
         s_scores = jnp.einsum(
             "bhod,bhsd->bhos", q.astype(jnp.float32), kr.astype(jnp.float32)
         ) * (self.head_dim ** -0.5)
-        idx = jnp.arange(self.max_seq)[None, None, None, :]
-        mask = idx <= pos[:, None, None, None]
+        idx = jnp.arange(cache_len)[None, None, None, :]
+        mask = idx <= pos_b[:, None, None, None]
         s_scores = jnp.where(mask, s_scores, -1e30)
         p = jax.nn.softmax(s_scores, axis=-1)
         o = jnp.einsum("bhos,bhsd->bhod", p, vr.astype(jnp.float32)).astype(x.dtype)

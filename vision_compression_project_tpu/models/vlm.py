@@ -78,13 +78,14 @@ class OpticalVLM(nn.Module):
         vision_emb: Optional[jnp.ndarray],
         prompt_ids: jnp.ndarray,
         kv_len: jnp.ndarray,
+        cache_len: Optional[int] = None,
     ):
         txt = self.decoder.embed_tokens(prompt_ids)
         if vision_emb is not None:
             x = jnp.concatenate([vision_emb, txt.astype(vision_emb.dtype)], axis=1)
         else:
             x = txt
-        return self.decoder.prefill(x, kv_len=kv_len)
+        return self.decoder.prefill(x, kv_len=kv_len, cache_len=cache_len)
 
     def decode_ids(self, ids: jnp.ndarray, caches, pos):
         x = self.decoder.embed_tokens(ids[:, None])
@@ -140,11 +141,17 @@ class VLMRunner:
 
     @functools.cached_property
     def _generate(self):
-        @functools.partial(jax.jit, static_argnames=("max_new", "has_vision"))
-        def run(params, vision_emb, prompt_ids, prompt_len, max_new, has_vision):
+        @functools.partial(
+            jax.jit,
+            static_argnames=("max_new", "has_vision", "cache_len", "lockstep"),
+        )
+        def run(
+            params, vision_emb, prompt_ids, prompt_len,
+            max_new, has_vision, cache_len, lockstep,
+        ):
             b = prompt_ids.shape[0]
             vis_len = vision_emb.shape[1] if has_vision else 0
-            kv_len = prompt_len + vis_len
+            kv_len_b = jnp.broadcast_to(prompt_len, (b,)) + vis_len
 
             def apply(method, *args):
                 return self.model.apply({"params": params}, *args, method=method)
@@ -153,17 +160,26 @@ class VLMRunner:
                 OpticalVLM.prefill_mixed,
                 vision_emb if has_vision else None,
                 prompt_ids,
-                kv_len,
+                kv_len_b,
+                cache_len,
             )
             # Next token comes from the position of the last real prompt token.
             last = jnp.take_along_axis(
-                logits, (kv_len - 1)[:, None, None], axis=1
+                logits, (kv_len_b - 1)[:, None, None], axis=1
             )[:, 0]
             first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
 
             out0 = jnp.full((b, max_new), PAD_ID, jnp.int32)
             done0 = first_tok == EOS_ID
             out0 = out0.at[:, 0].set(jnp.where(done0, EOS_ID, first_tok))
+            # Lockstep batches (uniform prompt length — the serving batcher
+            # pads to one bucket) carry a scalar position: decode then updates
+            # the donated cache in place via dynamic_update_slice.
+            pos0 = (
+                (prompt_len + vis_len).astype(jnp.int32).reshape(())
+                if lockstep
+                else kv_len_b
+            )
 
             def body(i, carry):
                 out, caches, last_tok, done, pos = carry
@@ -177,7 +193,7 @@ class VLMRunner:
                 return out, caches, tok, done, pos + 1
 
             out, *_ = jax.lax.fori_loop(
-                1, max_new, body, (out0, caches, first_tok, done0, kv_len)
+                1, max_new, body, (out0, caches, first_tok, done0, pos0)
             )
             return out
 
@@ -213,16 +229,29 @@ class VLMRunner:
             ids[i, : len(p)] = p
             lens[i] = len(p)
         has_vision = vision_emb is not None
+        vis_len = vision_emb.shape[1] if has_vision else 0
         if not has_vision:
             dim = self.cfg.decoder.dim
             vision_emb = jnp.zeros((b, 0, dim), _dtype(self.cfg.decoder.dtype))
+        # Right-size the KV cache to this generation (128-aligned), bounded
+        # by the model context; decode cost scales with this, not max_seq.
+        cache_len = min(
+            self.cfg.decoder.max_seq,
+            -(-(vis_len + plen + max_new) // 128) * 128,
+        )
+        lockstep = all(int(l) == int(lens[0]) for l in lens)
+        prompt_len = (
+            jnp.asarray(int(lens[0]), jnp.int32) if lockstep else jnp.asarray(lens)
+        )
         toks = self._generate(
             self.params,
             vision_emb,
             jnp.asarray(ids),
-            jnp.asarray(lens),
+            prompt_len,
             max_new,
             has_vision,
+            cache_len,
+            lockstep,
         )
         toks = np.asarray(toks)
         result = []

@@ -102,12 +102,40 @@ def extract_pdf_to_page_jsons(
             pdf_path.name, pages_total, len(todo), engine,
         )
 
-        for i in range(0, len(todo), batch_size):
-            chunk = todo[i : i + batch_size]
+        # Pipeline host rasterization (C++ thread pool) against device
+        # compute: chunk i+1 renders while chunk i runs on the TPU.
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
+        prefetcher = ThreadPoolExecutor(max_workers=1)
+        raster_futures = {}
+
+        if engine == "vlm":
+            if runner is not None:
+                model_image_size = runner.cfg.vision.image_size
+            else:
+                from ..models.configs import PRESETS
+
+                model_image_size = PRESETS[RUNTIME.model_preset].vision.image_size
+        else:
+            model_image_size = None
+
+        def _render(chunk):
+            return _render_chunk(
+                doc, chunk, dpi, engine, images_dir, save_images, model_image_size
+            )
+
+        if chunks:
+            raster_futures[0] = prefetcher.submit(_render, chunks[0])
+        for ci, chunk in enumerate(chunks):
+            if ci + 1 < len(chunks):
+                raster_futures[ci + 1] = prefetcher.submit(_render, chunks[ci + 1])
             try:
+                rasters = raster_futures.pop(ci).result()
                 with METRICS.timer("extract.batch"):
                     records = _extract_chunk(
-                        doc, chunk, dpi, engine, images_dir, runner, save_images
+                        doc, chunk, dpi, engine, images_dir, runner,
+                        save_images, rasters=rasters,
                     )
                 METRICS.count("extract.pages", len(chunk))
             except Exception as exc:  # batch-level failure: mark all pages
@@ -125,6 +153,7 @@ def extract_pdf_to_page_jsons(
                     processed_pages.append(page)
                 except Exception as exc:
                     failed_pages.append({"page": page, "error": str(exc)})
+        prefetcher.shutdown(wait=False)
 
     processed_pages.sort()
     return {
@@ -132,6 +161,46 @@ def extract_pdf_to_page_jsons(
         "processed_pages": processed_pages,
         "failed_pages": failed_pages,
     }
+
+
+def _model_dpi(doc: PdfDocument, pages: List[int], dpi: int, image_size: int) -> int:
+    """DPI that renders the longest page side at ~the model input size: the
+    on-device resize would discard anything finer, so rendering finer only
+    burns raster time and host->device bandwidth."""
+    max_pts = 1.0
+    for page in pages:
+        w, h = doc.page_size_pts(page - 1)
+        max_pts = max(max_pts, w, h)
+    return max(36, min(dpi, int(72.0 * image_size / max_pts + 0.999)))
+
+
+def _render_chunk(
+    doc: PdfDocument,
+    pages: List[int],
+    dpi: int,
+    engine: str,
+    images_dir: Optional[Path],
+    save_images: bool,
+    model_image_size: Optional[int] = None,
+) -> Optional[Dict[int, np.ndarray]]:
+    """Host-side work for a chunk: batched C++ raster (+ PNG artifacts).
+    Runs on the prefetch thread, overlapped with device compute."""
+    need_artifacts = images_dir is not None and save_images
+    if engine != "vlm" and not need_artifacts:
+        return None
+    render_dpi = dpi
+    if engine == "vlm" and not need_artifacts and model_image_size:
+        render_dpi = _model_dpi(doc, pages, dpi, model_image_size)
+    lo, hi = min(pages) - 1, max(pages) - 1
+    if hi - lo + 1 == len(pages) and len(pages) > 1:  # contiguous batch path
+        batch = doc.render_batch(lo, hi, dpi=render_dpi)
+        rasters = {lo + 1 + j: img for j, img in enumerate(batch)}
+    else:
+        rasters = {page: doc.render_page(page - 1, dpi=render_dpi) for page in pages}
+    if need_artifacts:
+        for page, img in rasters.items():
+            _save_png(img, images_dir / _PAGE_PNG.format(page))
+    return rasters
 
 
 def _extract_chunk(
@@ -142,21 +211,14 @@ def _extract_chunk(
     images_dir: Optional[Path],
     runner,
     save_images: bool,
+    rasters: Optional[Dict[int, np.ndarray]] = None,
 ) -> List[Dict]:
     """Process a contiguous-ish set of 1-indexed pages as one device batch."""
-    rasters = None
-    if engine == "vlm" or (images_dir is not None and save_images):
-        rasters = {
-            page: doc.render_page(page - 1, dpi=dpi) for page in pages
-        }
-        if len(pages) > 1:
-            lo, hi = min(pages) - 1, max(pages) - 1
-            if hi - lo + 1 == len(pages):  # contiguous: use the batch path
-                batch = doc.render_batch(lo, hi, dpi=dpi)
-                rasters = {lo + 1 + j: img for j, img in enumerate(batch)}
-    if images_dir is not None and save_images and rasters:
-        for page, img in rasters.items():
-            _save_png(img, images_dir / _PAGE_PNG.format(page))
+    if rasters is None:
+        image_size = runner.cfg.vision.image_size if runner is not None else None
+        rasters = _render_chunk(
+            doc, pages, dpi, engine, images_dir, save_images, image_size
+        )
 
     if engine == "text":
         return [
