@@ -212,12 +212,15 @@ class VLMRunner:
             patch=cfg.patch,
         )
 
-    def _run_generate(
+    def _start_generate(
         self,
         prompts: List[List[int]],
         vision_emb: Optional[jnp.ndarray],
         max_new: int,
-    ) -> List[List[int]]:
+    ) -> jnp.ndarray:
+        """Dispatch generation; returns the device token array WITHOUT
+        blocking (JAX async dispatch), so callers can pipeline the next
+        batch's host->device transfer under this batch's compute."""
         b = len(prompts)
         plen = max(len(p) for p in prompts)
         # Pad prompt length to a lane-friendly bucket to bound recompiles.
@@ -243,7 +246,7 @@ class VLMRunner:
         prompt_len = (
             jnp.asarray(int(lens[0]), jnp.int32) if lockstep else jnp.asarray(lens)
         )
-        toks = self._generate(
+        return self._generate(
             self.params,
             vision_emb,
             jnp.asarray(ids),
@@ -253,6 +256,10 @@ class VLMRunner:
             cache_len,
             lockstep,
         )
+
+    @staticmethod
+    def _collect_tokens(toks: jnp.ndarray) -> List[List[int]]:
+        """Block on the device token array and trim PAD/EOS."""
         toks = np.asarray(toks)
         result = []
         for row in toks:
@@ -262,15 +269,34 @@ class VLMRunner:
             result.append([t for t in row if t != PAD_ID])
         return result
 
-    def extract_batch(
-        self, pages_u8: np.ndarray, page_numbers: List[int], max_new: Optional[int] = None
-    ) -> List[Dict]:
-        """(B, H, W, 3) uint8 page rasters -> list of page-JSON dicts."""
+    def _run_generate(
+        self,
+        prompts: List[List[int]],
+        vision_emb: Optional[jnp.ndarray],
+        max_new: int,
+    ) -> List[List[int]]:
+        return self._collect_tokens(
+            self._start_generate(prompts, vision_emb, max_new)
+        )
+
+    def extract_batch_async(
+        self, pages_u8: np.ndarray, page_numbers: List[int],
+        max_new: Optional[int] = None,
+    ):
+        """Dispatch the full extract chain for one batch; returns an opaque
+        handle for `collect_extract`.  Nothing blocks: H2D, preprocess,
+        encode and the whole decode loop queue behind in-flight work, so
+        batch i+1's transfer overlaps batch i's compute."""
         max_new = max_new or self.max_new_default
         patches = self.preprocess_patches(pages_u8)
         vis = self._encode(self.params, patches)
         prompts = [[BOS_ID, TASK_EXTRACT_ID]] * len(page_numbers)
-        sequences = self._run_generate(prompts, vis, max_new)
+        toks = self._start_generate(prompts, vis, max_new)
+        return (toks, list(page_numbers))
+
+    def collect_extract(self, handle) -> List[Dict]:
+        toks, page_numbers = handle
+        sequences = self._collect_tokens(toks)
         out = []
         for page_no, seq in zip(page_numbers, sequences):
             fields = self._split_fields(seq)
@@ -283,6 +309,14 @@ class VLMRunner:
                 }
             )
         return out
+
+    def extract_batch(
+        self, pages_u8: np.ndarray, page_numbers: List[int], max_new: Optional[int] = None
+    ) -> List[Dict]:
+        """(B, H, W, 3) uint8 page rasters -> list of page-JSON dicts."""
+        return self.collect_extract(
+            self.extract_batch_async(pages_u8, page_numbers, max_new)
+        )
 
     def _split_fields(self, seq: List[int]) -> Tuple[str, str, List[str]]:
         parts: List[List[int]] = [[]]

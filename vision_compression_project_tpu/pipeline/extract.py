@@ -125,24 +125,7 @@ def extract_pdf_to_page_jsons(
                 doc, chunk, dpi, engine, images_dir, save_images, model_image_size
             )
 
-        if chunks:
-            raster_futures[0] = prefetcher.submit(_render, chunks[0])
-        for ci, chunk in enumerate(chunks):
-            if ci + 1 < len(chunks):
-                raster_futures[ci + 1] = prefetcher.submit(_render, chunks[ci + 1])
-            try:
-                rasters = raster_futures.pop(ci).result()
-                with METRICS.timer("extract.batch"):
-                    records = _extract_chunk(
-                        doc, chunk, dpi, engine, images_dir, runner,
-                        save_images, rasters=rasters,
-                    )
-                METRICS.count("extract.pages", len(chunk))
-            except Exception as exc:  # batch-level failure: mark all pages
-                logger.error("extract batch failed: %s", exc, exc_info=True)
-                for page in chunk:
-                    failed_pages.append({"page": page, "error": str(exc)})
-                continue
+        def _write_records(chunk, records):
             for page, record in zip(chunk, records):
                 try:
                     json_path = out_pages_dir / _PAGE_JSON.format(page)
@@ -153,6 +136,59 @@ def extract_pdf_to_page_jsons(
                     processed_pages.append(page)
                 except Exception as exc:
                     failed_pages.append({"page": page, "error": str(exc)})
+
+        def _fail_chunk(chunk, exc):
+            logger.error("extract batch failed: %s", exc, exc_info=True)
+            for page in chunk:
+                failed_pages.append({"page": page, "error": str(exc)})
+
+        if engine == "vlm" and chunks and runner is None:
+            runner = _get_runner()
+
+        if chunks:
+            raster_futures[0] = prefetcher.submit(_render, chunks[0])
+        # Two-deep device pipeline (VLM engine): batch i+1's host->device
+        # transfer + dispatch happen before blocking on batch i's tokens, so
+        # transfers hide under decode compute (JAX async dispatch).
+        pending = None  # (chunk, handle)
+
+        def _collect_pending():
+            nonlocal pending
+            if pending is None:
+                return
+            pchunk, phandle = pending
+            pending = None
+            try:
+                with METRICS.timer("extract.batch"):
+                    records = runner.collect_extract(phandle)
+                METRICS.count("extract.pages", len(pchunk))
+                _write_records(pchunk, records)
+            except Exception as exc:
+                _fail_chunk(pchunk, exc)
+
+        for ci, chunk in enumerate(chunks):
+            if ci + 1 < len(chunks):
+                raster_futures[ci + 1] = prefetcher.submit(_render, chunks[ci + 1])
+            try:
+                rasters = raster_futures.pop(ci).result()
+                if engine == "vlm":
+                    stacked = _stack_rasters(rasters, chunk)
+                    handle = runner.extract_batch_async(stacked, page_numbers=chunk)
+                else:
+                    with METRICS.timer("extract.batch"):
+                        records = _extract_chunk(
+                            doc, chunk, dpi, engine, images_dir, runner,
+                            save_images, rasters=rasters,
+                        )
+                    METRICS.count("extract.pages", len(chunk))
+                    _write_records(chunk, records)
+                    continue
+            except Exception as exc:
+                _fail_chunk(chunk, exc)
+                continue
+            _collect_pending()
+            pending = (chunk, handle)
+        _collect_pending()
         prefetcher.shutdown(wait=False)
 
     processed_pages.sort()
@@ -227,22 +263,26 @@ def _extract_chunk(
 
     if engine == "vlm":
         runner = runner or _get_runner()
-        # Pad rasters to a uniform shape for the device batch; the on-device
-        # resize normalizes dimensions anyway, so pad host-side only when
-        # page sizes differ within the batch.
-        shapes = {rasters[p].shape for p in pages}
-        if len(shapes) == 1:
-            stacked = np.stack([rasters[p] for p in pages])
-        else:
-            h = max(s[0] for s in shapes)
-            w = max(s[1] for s in shapes)
-            stacked = np.full((len(pages), h, w, 3), 255, np.uint8)
-            for j, p in enumerate(pages):
-                img = rasters[p]
-                stacked[j, : img.shape[0], : img.shape[1]] = img
-        return runner.extract_batch(stacked, page_numbers=pages)
+        return runner.extract_batch(
+            _stack_rasters(rasters, pages), page_numbers=pages
+        )
 
     raise ValueError(f"unknown extract engine {engine!r}")
+
+
+def _stack_rasters(rasters: Dict[int, np.ndarray], pages: List[int]) -> np.ndarray:
+    """Stack per-page rasters into one (B, H, W, 3) batch, padding with white
+    when page sizes differ (the on-device resize handles the rest)."""
+    shapes = {rasters[p].shape for p in pages}
+    if len(shapes) == 1:
+        return np.stack([rasters[p] for p in pages])
+    h = max(s[0] for s in shapes)
+    w = max(s[1] for s in shapes)
+    stacked = np.full((len(pages), h, w, 3), 255, np.uint8)
+    for j, p in enumerate(pages):
+        img = rasters[p]
+        stacked[j, : img.shape[0], : img.shape[1]] = img
+    return stacked
 
 
 # ---------------------------------------------------------------------------

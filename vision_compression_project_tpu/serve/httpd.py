@@ -316,6 +316,15 @@ class VCPRequestHandler(BaseHTTPRequestHandler):
             from ..utils.metrics import METRICS
 
             self._send_json(200, METRICS.snapshot())
+        elif self.path in ("/ui", "/ui/"):
+            from .ui import UI_HTML
+
+            body = UI_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._send_json(404, {"detail": "Not Found"})
 
