@@ -20,8 +20,8 @@ import tempfile
 import time
 from pathlib import Path
 
-N_PAGES = 32
-BATCH = 8
+N_PAGES = 64
+BATCH = 32
 MAX_NEW = 128
 DPI = 150
 BASELINE_PAGES_PER_SEC = 1.0  # reference implied ceiling (BASELINE.md)

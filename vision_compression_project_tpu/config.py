@@ -71,7 +71,7 @@ class RuntimeConfig:
     # Optional checkpoint directory for trained weights.
     checkpoint_dir: Optional[str] = os.environ.get("VCP_CHECKPOINT_DIR")
     # Device batch size for page extraction / embedding.
-    extract_batch_size: int = _env_int("VCP_EXTRACT_BATCH", 8)
+    extract_batch_size: int = _env_int("VCP_EXTRACT_BATCH", 16)
     embed_batch_size: int = _env_int("VCP_EMBED_BATCH", 32)
     # Mesh axis sizes; 0 = infer from available devices (all -> data).
     mesh_data: int = _env_int("VCP_MESH_DATA", 0)

@@ -104,18 +104,80 @@ def flash_attention(
     """Attention over (B, H, S, D) tensors; supports GQA (Hkv divides H).
 
     kv_len: optional (B,) int32 of valid key lengths (ragged batches).
+    Differentiable: forward runs the Pallas kernel; the backward pass
+    recomputes attention weights in XLA (flash-style recompute — no (S,S)
+    residuals are saved).
     """
     b, h, sq, d = q.shape
     _, hkv, sk, _ = k.shape
     assert h % hkv == 0, (h, hkv)
-    group = h // hkv
     if scale is None:
         scale = d ** -0.5
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     if kv_len is None:
         kv_len = jnp.full((b,), sk, jnp.int32)
-    kv_len = kv_len.astype(jnp.int32).reshape(b)
+    # float carrier so custom_vjp can emit a well-typed zero cotangent.
+    kv_len_f = kv_len.astype(jnp.float32).reshape(b)
+    core = _flash_core(causal, float(scale), block_q, block_k)
+    return core(q, k, v, kv_len_f)
+
+
+@functools.lru_cache(maxsize=32)
+def _flash_core(causal: bool, scale: float, block_q: int, block_k: int):
+    """custom_vjp-wrapped kernel launcher for one static config."""
+
+    def fwd_impl(q, k, v, kv_len_f):
+        return _flash_forward(q, k, v, kv_len_f, causal, scale, block_q, block_k)
+
+    @jax.custom_vjp
+    def core(q, k, v, kv_len_f):
+        return fwd_impl(q, k, v, kv_len_f)
+
+    def core_fwd(q, k, v, kv_len_f):
+        return fwd_impl(q, k, v, kv_len_f), (q, k, v, kv_len_f)
+
+    def core_bwd(residuals, g):
+        q, k, v, kv_len_f = residuals
+        b, h, sq, d = q.shape
+        hkv = k.shape[1]
+        group = h // hkv
+        kr = jnp.repeat(k, group, axis=1).astype(jnp.float32)
+        vr = jnp.repeat(v, group, axis=1).astype(jnp.float32)
+        qf = q.astype(jnp.float32)
+        gf = g.astype(jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kr) * scale
+        k_idx = jnp.arange(k.shape[2])[None, None, None, :]
+        mask = k_idx < kv_len_f[:, None, None, None]
+        if causal:
+            q_idx = jnp.arange(sq)[None, None, :, None]
+            mask = jnp.logical_and(mask, k_idx <= q_idx)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vr)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kr) * scale
+        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+        # GQA: fold query-head groups back onto their shared kv head.
+        dk = dk.reshape(b, hkv, group, *dk.shape[2:]).sum(axis=2)
+        dv = dv.reshape(b, hkv, group, *dv.shape[2:]).sum(axis=2)
+        return (
+            dq.astype(q.dtype),
+            dk.astype(k.dtype),
+            dv.astype(v.dtype),
+            jnp.zeros_like(kv_len_f),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def _flash_forward(q, k, v, kv_len_f, causal, scale, block_q, block_k):
+    b, h, sq, d = q.shape
+    _, hkv, sk, _ = k.shape
+    group = h // hkv
+    kv_len = kv_len_f.astype(jnp.int32)
 
     grid = (b, h, cdiv(sq, block_q))
     grid_spec = pltpu.PrefetchScalarGridSpec(
