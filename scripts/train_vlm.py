@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Train the OpticalVLM on synthetic rendered-page OCR data.
+
+The reference had no training path at all (SURVEY.md: models were cloud
+APIs).  This CLI runs the pjit-sharded train step (DP/TP/EP/SP per
+parallel/sharding.py) over the synthetic page corpus and writes orbax
+checkpoints that VLMRunner loads for the serving VLM engine
+(VCP_CHECKPOINT_DIR)."""
+
+import argparse
+import time
+
+import _bootstrap  # noqa: F401
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train the OpticalVLM.")
+    parser.add_argument("--preset", default="tiny", help="model preset")
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--text_len", type=int, default=384)
+    parser.add_argument("--dpi", type=int, default=72)
+    parser.add_argument("--ckpt_dir", default="checkpoints/vlm")
+    parser.add_argument("--ckpt_every", type=int, default=100)
+    parser.add_argument("--log_every", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+
+    from vision_compression_project_tpu.models import get_preset
+    from vision_compression_project_tpu.parallel import build_mesh
+    from vision_compression_project_tpu.train import save_checkpoint
+    from vision_compression_project_tpu.train.data import (
+        device_batch,
+        synthetic_batches,
+    )
+    from vision_compression_project_tpu.train.train_step import (
+        make_jitted_train_step,
+        make_train_state,
+    )
+
+    cfg = get_preset(args.preset)
+    mesh = build_mesh()
+    print(f"mesh: {dict(mesh.shape)} devices={len(jax.devices())}")
+    model, tx, state, shardings = make_train_state(cfg, mesh, lr=args.lr)
+    step_fn, batch_shardings = make_jitted_train_step(model, tx, mesh, shardings)
+
+    data = synthetic_batches(
+        cfg, args.batch, text_len=args.text_len, dpi=args.dpi, seed=args.seed
+    )
+    t_start = time.time()
+    with mesh:
+        for step in range(1, args.steps + 1):
+            batch = device_batch(cfg, next(data))
+            batch = {
+                k: jax.device_put(v, batch_shardings[k]) for k, v in batch.items()
+            }
+            state, loss = step_fn(state, batch)
+            if step % args.log_every == 0 or step == 1:
+                loss_v = float(jax.device_get(loss))
+                rate = step * args.batch / (time.time() - t_start)
+                print(f"step {step:5d}  loss {loss_v:.4f}  pages/s {rate:.1f}")
+            if args.ckpt_every and step % args.ckpt_every == 0:
+                path = save_checkpoint(args.ckpt_dir, state)
+                print(f"checkpoint: {path}")
+    path = save_checkpoint(args.ckpt_dir, state)
+    print(f"final checkpoint: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+import jax
+import numpy as np
+
+from vision_compression_project_tpu.models import get_preset
+from vision_compression_project_tpu.models.tokenizer import (
+    BOS_ID,
+    EOS_ID,
+    PAD_ID,
+    SEP_ID,
+    TASK_EXTRACT_ID,
+)
+from vision_compression_project_tpu.train.data import (
+    device_batch,
+    synthetic_batches,
+    synthetic_page_text,
+    target_tokens,
+)
+
+
+def test_synthetic_page_text_deterministic():
+    a = synthetic_page_text(np.random.default_rng(7))
+    b = synthetic_page_text(np.random.default_rng(7))
+    assert a == b
+    assert len(a.splitlines()) == 19
+
+
+def test_target_tokens_structure():
+    text = "Title Here\nFirst sentence about Models.\nSecond sentence."
+    toks = target_tokens(text, page_number=1, max_len=256)
+    lst = toks.tolist()
+    assert lst[0] == BOS_ID and lst[1] == TASK_EXTRACT_ID
+    assert SEP_ID in lst
+    assert EOS_ID in lst
+    # Everything after EOS is padding.
+    eos_at = lst.index(EOS_ID)
+    assert all(t == PAD_ID for t in lst[eos_at + 1 :])
+
+
+def test_synthetic_batches_and_device_batch(tmp_path):
+    cfg = get_preset("tiny")
+    it = synthetic_batches(cfg, batch_size=2, text_len=128, dpi=36, workdir=tmp_path)
+    batch = next(it)
+    assert batch["pages_u8"].dtype == np.uint8
+    assert batch["pages_u8"].shape[0] == 2
+    assert batch["token_ids"].shape == (2, 128)
+    dev = device_batch(cfg, batch)
+    grid = cfg.vision.grid
+    assert dev["patch_tokens"].shape == (2, grid * grid, cfg.vision.patch ** 2 * 3)
+
+
+def test_train_on_synthetic_data_reduces_loss(mesh_dp, tmp_path):
+    from vision_compression_project_tpu.train.train_step import (
+        make_jitted_train_step,
+        make_train_state,
+    )
+
+    cfg = get_preset("tiny")
+    model, tx, state, shardings = make_train_state(cfg, mesh_dp, lr=3e-3)
+    step_fn, batch_shardings = make_jitted_train_step(model, tx, mesh_dp, shardings)
+    it = synthetic_batches(cfg, batch_size=8, text_len=128, dpi=36, workdir=tmp_path)
+    batch = device_batch(cfg, next(it))
+    batch = {k: jax.device_put(v, batch_shardings[k]) for k, v in batch.items()}
+    with mesh_dp:
+        state, loss0 = step_fn(state, batch)
+        for _ in range(6):
+            state, loss = step_fn(state, batch)
+    assert float(loss) < float(loss0)
+
+
+def test_load_runner_roundtrip(tmp_path, mesh_dp):
+    from vision_compression_project_tpu.train import save_checkpoint
+    from vision_compression_project_tpu.train.checkpoint import load_runner
+    from vision_compression_project_tpu.train.train_step import make_train_state
+
+    cfg = get_preset("tiny")
+    model, tx, state, _ = make_train_state(cfg, mesh_dp, lr=1e-3)
+    save_checkpoint(tmp_path / "ck", state, step=1)
+    runner = load_runner(cfg, tmp_path / "ck")
+    trained = np.asarray(jax.device_get(state.params["proj"]["kernel"]))
+    loaded = np.asarray(jax.device_get(runner.params["proj"]["kernel"]))
+    np.testing.assert_array_equal(trained, loaded)

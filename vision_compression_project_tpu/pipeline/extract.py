@@ -45,7 +45,13 @@ def _get_runner():
     try:
         return _RUNNER
     except NameError:
-        _RUNNER = VLMRunner(get_preset(RUNTIME.model_preset))
+        cfg = get_preset(RUNTIME.model_preset)
+        if RUNTIME.checkpoint_dir:
+            from ..train.checkpoint import load_runner
+
+            _RUNNER = load_runner(cfg, RUNTIME.checkpoint_dir)
+        else:
+            _RUNNER = VLMRunner(cfg)
         return _RUNNER
 
 

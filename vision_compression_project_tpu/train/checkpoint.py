@@ -43,3 +43,28 @@ def restore_checkpoint(ckpt_dir, target: Any) -> Optional[Any]:
         return None
     checkpointer = ocp.StandardCheckpointer()
     return checkpointer.restore(path, target)
+
+
+def load_runner(cfg, ckpt_dir, **runner_kwargs):
+    """Build a VLMRunner with params restored from the latest checkpoint
+    (falls back to fresh init if none exists)."""
+    import jax
+
+    from ..models.vlm import VLMRunner
+    from .train_step import TrainState, make_optimizer
+
+    runner = VLMRunner(cfg, **runner_kwargs)
+    if latest_checkpoint(ckpt_dir) is None:
+        return runner
+    tx = make_optimizer()
+    abstract = TrainState(
+        params=jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), runner.params
+        ),
+        opt_state=jax.eval_shape(tx.init, runner.params),
+        step=jax.ShapeDtypeStruct((), "int32"),
+    )
+    restored = restore_checkpoint(ckpt_dir, abstract)
+    if restored is not None:
+        runner.params = restored.params
+    return runner

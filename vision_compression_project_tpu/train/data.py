@@ -1,0 +1,114 @@
+"""Synthetic supervised data for VLM pretraining.
+
+The reference never trains (its model was a cloud API); this generator
+closes the loop for the on-device VLM: synthetic document pages are written
+as real PDFs (raster/pdfgen.py), rasterized by the C++ engine — the exact
+input distribution the serving path sees — and paired with the target token
+sequence the decoder is supposed to emit
+(`markdown <SEP> summary <SEP> entities <EOS>`, models/vlm.py) derived from
+the known source text via the same deterministic structurer the text engine
+uses (pipeline/textmd.py).  Training on this teaches the model the
+raster->structured-markdown mapping (synthetic-font OCR); fine-tuning on
+real scanned corpora slots into the same iterator interface.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..models.configs import VLMConfig
+from ..models.tokenizer import BOS_ID, ByteTokenizer, EOS_ID, PAD_ID, SEP_ID, TASK_EXTRACT_ID
+from ..models.vlm import UNIT_SEP
+from ..pipeline.textmd import structure_page
+
+_WORDS = (
+    "model data page table figure result method train loss token image "
+    "system value metric test index query answer document vision text "
+    "compression encoder decoder attention kernel batch memory device"
+).split()
+
+
+def synthetic_page_text(rng: np.random.Generator, lines: int = 18) -> str:
+    title = " ".join(rng.choice(_WORDS, size=3)).title()
+    body = []
+    for _ in range(lines):
+        n = int(rng.integers(5, 11))
+        sentence = " ".join(rng.choice(_WORDS, size=n)) + "."
+        body.append(sentence.capitalize())
+    return title + "\n" + "\n".join(body)
+
+
+def target_tokens(text: str, page_number: int, max_len: int) -> np.ndarray:
+    """Teacher sequence: BOS TASK markdown SEP summary SEP entities EOS."""
+    tok = ByteTokenizer()
+    record = structure_page(text, page_number)
+    ids: List[int] = [BOS_ID, TASK_EXTRACT_ID]
+    ids += tok.encode(record["markdown"])
+    ids.append(SEP_ID)
+    ids += tok.encode(record["summary"])
+    ids.append(SEP_ID)
+    for i, entity in enumerate(record["entities"]):
+        if i:
+            ids.append(UNIT_SEP)
+        ids += tok.encode(entity)
+    ids.append(EOS_ID)
+    out = np.full((max_len,), PAD_ID, np.int32)
+    ids = ids[: max_len - 1] + [EOS_ID] if len(ids) > max_len else ids
+    out[: len(ids)] = ids
+    return out
+
+
+def synthetic_batches(
+    cfg: VLMConfig,
+    batch_size: int,
+    text_len: int = 512,
+    dpi: int = 72,
+    seed: int = 0,
+    workdir: Optional[Path] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever."""
+    from ..raster import PdfDocument, make_pdf
+
+    rng = np.random.default_rng(seed)
+    workdir = Path(workdir or tempfile.mkdtemp(prefix="vcp_train_"))
+    text_len = min(text_len, cfg.decoder.max_seq - cfg.vision.tokens_out - 1)
+    step = 0
+    while True:
+        texts = [synthetic_page_text(rng) for _ in range(batch_size)]
+        pdf = make_pdf(texts, workdir / f"batch_{step % 4}.pdf")
+        with PdfDocument(pdf) as doc:
+            rasters = doc.render_batch(0, batch_size - 1, dpi=dpi)
+        h = max(r.shape[0] for r in rasters)
+        w = max(r.shape[1] for r in rasters)
+        pages = np.full((batch_size, h, w, 3), 255, np.uint8)
+        for i, r in enumerate(rasters):
+            pages[i, : r.shape[0], : r.shape[1]] = r
+        tokens = np.stack(
+            [target_tokens(t, i + 1, text_len) for i, t in enumerate(texts)]
+        )
+        yield {"pages_u8": pages, "token_ids": tokens}
+        step += 1
+
+
+def device_batch(runner_or_cfg, batch: Dict[str, np.ndarray]) -> Dict:
+    """Host batch -> device train-step batch (patch tokens + token ids)."""
+    import jax.numpy as jnp
+
+    from ..ops.preprocess import preprocess_pages
+
+    cfg = getattr(runner_or_cfg, "cfg", runner_or_cfg)
+    vision = cfg.vision
+    patches = preprocess_pages(
+        jnp.asarray(batch["pages_u8"]),
+        target_h=vision.image_size,
+        target_w=vision.image_size,
+        patch=vision.patch,
+    )
+    return {
+        "patch_tokens": patches,
+        "token_ids": jnp.asarray(batch["token_ids"]),
+    }
