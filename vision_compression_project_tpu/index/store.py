@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import threading
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Optional
 
 from ..config import RUNTIME
 from .vector_index import VectorIndex

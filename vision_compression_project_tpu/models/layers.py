@@ -9,7 +9,6 @@ processing and plain XLA einsums against the KV cache for single-token decode.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional, Tuple
 
 import jax

@@ -70,8 +70,20 @@ def preprocess_pages(
 
     (B, H_raw, W_raw, 3) uint8 -> (B, (target_h//patch)*(target_w//patch),
     patch*patch*3) bf16, single fused jit.
+
+    Grayscale input — (B, H, W) or (B, H, W, 1) — is accepted and broadcast
+    to RGB *after* the resize: document rasters are overwhelmingly gray, so
+    shipping one channel cuts host->device bandwidth (the serving
+    bottleneck) 3x with zero quality loss, and the resize matmuls run on a
+    third of the pixels.
     """
+    if pages_u8.ndim == 3:
+        pages_u8 = pages_u8[..., None]
     resized = resize_bilinear(pages_u8, target_h, target_w, dtype=jnp.float32)
+    if resized.shape[-1] == 1:
+        resized = jnp.broadcast_to(
+            resized, resized.shape[:-1] + (3,)
+        )
     return patchify_normalize(resized, patch=patch, out_dtype=out_dtype)
 
 

@@ -17,7 +17,6 @@ planned upgrade once profiling shows the XLA ring on the critical path.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

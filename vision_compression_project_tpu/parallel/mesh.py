@@ -13,7 +13,6 @@ DCN (multi-slice via jax.distributed), never hand-rolled transports.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from typing import Optional, Sequence
 

@@ -276,18 +276,33 @@ def _extract_chunk(
     raise ValueError(f"unknown extract engine {engine!r}")
 
 
+def _is_grayscale(img: np.ndarray) -> bool:
+    """Exact grayscale check (memory-bound numpy compare, ~ms/page)."""
+    return bool(
+        np.array_equal(img[..., 0], img[..., 1])
+        and np.array_equal(img[..., 1], img[..., 2])
+    )
+
+
 def _stack_rasters(rasters: Dict[int, np.ndarray], pages: List[int]) -> np.ndarray:
     """Stack per-page rasters into one (B, H, W, 3) batch, padding with white
-    when page sizes differ (the on-device resize handles the rest)."""
-    shapes = {rasters[p].shape for p in pages}
+    when page sizes differ (the on-device resize handles the rest).  When
+    every page is grayscale, only one channel is stacked — 3x fewer
+    host->device bytes; the device broadcasts after resize."""
+    gray = all(_is_grayscale(rasters[p]) for p in pages)
+    channels = () if gray else (3,)
+    shapes = {rasters[p].shape[:2] for p in pages}
     if len(shapes) == 1:
+        if gray:
+            return np.stack([np.ascontiguousarray(rasters[p][..., 0]) for p in pages])
         return np.stack([rasters[p] for p in pages])
     h = max(s[0] for s in shapes)
     w = max(s[1] for s in shapes)
-    stacked = np.full((len(pages), h, w, 3), 255, np.uint8)
+    stacked = np.full((len(pages), h, w, *channels), 255, np.uint8)
     for j, p in enumerate(pages):
         img = rasters[p]
-        stacked[j, : img.shape[0], : img.shape[1]] = img
+        src = img[..., 0] if gray else img
+        stacked[j, : img.shape[0], : img.shape[1]] = src
     return stacked
 
 

@@ -13,7 +13,7 @@ import contextlib
 import threading
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 
 class _Stat:
