@@ -174,3 +174,17 @@ def test_rewrite_query():
     assert phrases
     assert "compression" in phrases[0]
     assert "what" not in phrases[0]
+
+
+def test_qa_lm_engine_runs(workspace, embedder):
+    from vision_compression_project_tpu.models import VLMRunner, get_preset
+
+    runner = VLMRunner(get_preset("tiny"), max_new_default=8)
+    result = qa.answer_question(
+        "testdoc", "What about compression?", top_k=2,
+        store=workspace["store"], embedder=embedder,
+        runner=runner, engine="lm",
+    )
+    assert isinstance(result["answer_md"], str)
+    assert result["answer_md"]  # lm output or NOT_FOUND sentinel
+    assert result["retrieved"]

@@ -175,3 +175,19 @@ def test_batching_queue_propagates_errors():
     with pytest.raises(ValueError):
         bq.submit(1, timeout=5)
     bq.close()
+
+
+def test_ui_served(server):
+    req = urllib.request.Request(server + "/ui")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert "text/html" in resp.headers["Content-Type"]
+        body = resp.read().decode()
+    assert "Vision Compression Document QA" in body
+    assert "/ingest" in body and "/chat" in body
+
+
+def test_metrics_endpoint(server):
+    status, _, body = _get(server + "/metrics")
+    assert status == 200
+    assert "timers" in body and "counters" in body
