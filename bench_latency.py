@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Secondary benchmark: retrieve+answer latency (the /chat path).
+
+Measures qa.answer_question end-to-end — query embedding, on-device masked
+top-k over the index, evidence pack, extractive cited answer — against an
+ingested document.  The reference's equivalent path was two cloud round
+trips (Supermemory search + Gemini generate), implying seconds of p50;
+BASELINE.json's target is sub-second p50.
+
+Prints ONE JSON line (same shape as bench.py).
+"""
+
+import json
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+N_QUERIES = 40
+
+
+def main() -> None:
+    repo = Path(__file__).resolve().parent
+    sys.path.insert(0, str(repo))
+
+    from vision_compression_project_tpu.index import IndexStore
+    from vision_compression_project_tpu.models import EmbedderConfig, HashNGramEmbedder
+    from vision_compression_project_tpu.pipeline import extract, ingest, qa
+    from vision_compression_project_tpu.raster import make_pdf
+
+    tmp = Path(tempfile.mkdtemp(prefix="vcp_lat_"))
+    pages = [
+        f"Section {i}\n" + " ".join(
+            f"topic{i} fact{j} detail" for j in range(60)
+        ) + f". Section {i} discusses measurement {i}."
+        for i in range(24)
+    ]
+    pdf = make_pdf(pages, tmp / "doc.pdf")
+    extract.extract_pdf_to_page_jsons(pdf, tmp / "pages", dpi=72, engine="text")
+    embedder = HashNGramEmbedder(EmbedderConfig())
+    store = IndexStore(tmp / "index", dim=embedder.dim)
+    ingest.ingest_pages_dir(
+        tmp / "pages", pdf, "latdoc", tmp / "manifest.json",
+        embedder=embedder, store=store,
+    )
+
+    def ask(i):
+        return qa.answer_question(
+            "latdoc", f"What does section {i % 24} say about measurement?",
+            top_k=8, store=store, embedder=embedder,
+        )
+
+    ask(0)  # warmup/compile
+    times = []
+    for i in range(N_QUERIES):
+        t0 = time.perf_counter()
+        result = ask(i)
+        times.append(time.perf_counter() - t0)
+        assert result["retrieved"], "retrieval must hit"
+    p50 = statistics.median(times)
+    print(
+        json.dumps(
+            {
+                "metric": "retrieve_answer_latency_p50",
+                "value": round(p50 * 1000, 2),
+                "unit": "ms",
+                "vs_baseline": round(1000.0 / (p50 * 1000), 3),  # vs 1 s target
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
