@@ -387,8 +387,28 @@ def create_server(host: str = "0.0.0.0", port: int = 8080, base_tmp=None):
     return server
 
 
-def serve_forever(host: str = "0.0.0.0", port: int = 8080):
+def warmup(state: ServiceState) -> None:
+    """Compile the hot device paths before taking traffic.
+
+    The reference did no init-time work at all (clients constructed lazily
+    per request, reference main.py:216-219 / SURVEY §3.5); on TPU that
+    inverts — first-use jit compilation takes minutes, so serving pays it
+    once at startup instead of inside the first user's request."""
+    import time
+
+    t0 = time.time()
+    logger.info("warmup: compiling embedder path")
+    state.embedder.embed(["warmup text for compilation"])
+    logger.info("warmup: done in %.1fs", time.time() - t0)
+
+
+def serve_forever(host: str = "0.0.0.0", port: int = 8080, do_warmup: bool = True):
     server = create_server(host, port)
+    if do_warmup:
+        # Warm in the background so /health responds immediately.
+        threading.Thread(
+            target=warmup, args=(server.vcp_state,), daemon=True
+        ).start()
     logger.info("serving on %s:%d", host, port)
     server.serve_forever()
 
