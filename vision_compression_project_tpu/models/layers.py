@@ -215,18 +215,22 @@ class Attention(nn.Module):
             keep_old = (1 - onehot)[:, None, :, None]
             k = cache["k"] * keep_old + jnp.einsum("bhod,bs->bhsd", k_new, onehot)
             v = cache["v"] * keep_old + jnp.einsum("bhod,bs->bhsd", v_new, onehot)
+        # Grouped-query attention without materializing repeated k/v: fold
+        # q heads as (kv_head, group) and contract against the shared cache
+        # (decode is HBM-bandwidth-bound; repeat would read it group times).
         group = self.heads // self.kv_heads
-        kr = jnp.repeat(k, group, axis=1)
-        vr = jnp.repeat(v, group, axis=1)
+        qg = q.reshape(b, self.kv_heads, group, self.head_dim)  # (B,Hkv,G,D)
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
         s_scores = jnp.einsum(
-            "bhod,bhsd->bhos", q.astype(jnp.float32), kr.astype(jnp.float32)
+            "bhgd,bhsd->bhgs", qg.astype(jnp.float32), kf
         ) * (self.head_dim ** -0.5)
         idx = jnp.arange(cache_len)[None, None, None, :]
         mask = idx <= pos_b[:, None, None, None]
         s_scores = jnp.where(mask, s_scores, -1e30)
         p = jax.nn.softmax(s_scores, axis=-1)
-        o = jnp.einsum("bhos,bhsd->bhod", p, vr.astype(jnp.float32)).astype(x.dtype)
-        o = jnp.transpose(o, (0, 2, 1, 3))
+        o = jnp.einsum("bhgs,bhsd->bhgd", p, vf).astype(x.dtype)
+        o = o.reshape(b, 1, self.heads, self.head_dim)  # (B,S=1,H,D)
         return self.wo(o), {"k": k, "v": v}
 
 
