@@ -9,6 +9,7 @@ from .preprocess import (
 from .attention import flash_attention, mha_reference
 from .topk import masked_similarity, cosine_topk, masked_similarity_reference
 from .dct import dct8x8_encode, dct8x8_decode, JPEG_LUMA_QTABLE
+from .ring_attention import ring_attention, ring_attention_sharded_inputs
 
 __all__ = [
     "interpret_mode",
@@ -28,4 +29,6 @@ __all__ = [
     "dct8x8_encode",
     "dct8x8_decode",
     "JPEG_LUMA_QTABLE",
+    "ring_attention",
+    "ring_attention_sharded_inputs",
 ]

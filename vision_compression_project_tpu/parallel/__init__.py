@@ -16,6 +16,7 @@ from .sharding import (
     replicated,
 )
 from .collectives import distributed_topk, ring_all_gather_rows
+from .pipeline import gpipe, shard_stacked_params
 
 __all__ = [
     "AXIS_DATA",
@@ -33,4 +34,6 @@ __all__ = [
     "replicated",
     "distributed_topk",
     "ring_all_gather_rows",
+    "gpipe",
+    "shard_stacked_params",
 ]
