@@ -63,6 +63,9 @@ class RuntimeConfig:
     extract_engine: str = _env_str("VCP_EXTRACT_ENGINE", "auto")
     # Answering engine: "auto" (extractive compose; LM if weights loaded), "extractive", "lm".
     answer_engine: str = _env_str("VCP_ANSWER_ENGINE", "auto")
+    # Retrieval mode: "single" (one pooled vector/page) or "multi"
+    # (ColPali-style multi-vector MaxSim, index/multivector.py).
+    retrieval_mode: str = _env_str("VCP_RETRIEVAL", "single")
     # Embedding backend: "hash" (deterministic hashed n-gram projection) or "neural".
     embed_backend: str = _env_str("VCP_EMBED_BACKEND", "hash")
     embed_dim: int = _env_int("VCP_EMBED_DIM", 512)

@@ -20,11 +20,21 @@ _default_store: Optional["IndexStore"] = None
 
 
 class IndexStore:
-    def __init__(self, root, dim: int):
+    def __init__(self, root, dim: int, mode: Optional[str] = None):
         self.root = Path(root)
         self.dim = dim
+        self.mode = mode or RUNTIME.retrieval_mode
         self._lock = threading.Lock()
-        if (self.root / "metadata.json").exists():
+        if self.mode == "multi":
+            from .multivector import MultiVectorIndex
+
+            if (self.root / "mv_metadata.json").exists():
+                self.index = MultiVectorIndex.load(self.root)
+                if self.index.dim != dim:
+                    self.index = MultiVectorIndex(dim=dim)
+            else:
+                self.index = MultiVectorIndex(dim=dim)
+        elif (self.root / "metadata.json").exists():
             self.index = VectorIndex.load(self.root)
             if self.index.dim != dim:
                 # Embedder config changed; start fresh rather than mix spaces.
@@ -33,12 +43,21 @@ class IndexStore:
             self.index = VectorIndex(dim=dim)
 
     def add(self, embeddings, records, memory_ids=None):
+        """Single mode: (B, dim) pooled vectors.  Multi mode: a list of
+        per-page (k_i, dim) vector sets."""
         with self._lock:
             ids = self.index.add(embeddings, records, memory_ids)
             self.index.save(self.root)
             return ids
 
     def search(self, query_embeddings, top_k=8, doc_id=None):
+        """Single mode: per-query result lists for (B, dim) queries.
+        Multi mode: the (Q, dim) input is ONE query set (question +
+        rewrites); returns [results] for call-site uniformity."""
+        if self.mode == "multi":
+            return [
+                self.index.search(query_embeddings, top_k=top_k, doc_id=doc_id)
+            ]
         return self.index.search(query_embeddings, top_k=top_k, doc_id=doc_id)
 
 

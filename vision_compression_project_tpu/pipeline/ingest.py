@@ -27,6 +27,19 @@ from ..utils.metrics import METRICS
 logger = logging.getLogger(__name__)
 
 _PAGE_RE = re.compile(r"page_(\d+)\.json$")
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def page_vector_set(embedder, content: str, kmax: int = 8):
+    """Multi-vector page representation: the pooled page vector plus up to
+    kmax-1 sentence vectors (ColPali-style late interaction; see
+    index/multivector.py)."""
+    sentences = [
+        sent.strip()
+        for sent in _SENT_RE.split(" ".join(content.split()))
+        if len(sent.strip()) >= 15
+    ][: kmax - 1]
+    return embedder.embed([content] + sentences)
 
 
 def parse_json_file(file_path) -> Dict:
@@ -137,12 +150,16 @@ def ingest_pages_dir(
         }
         todo.append((page_number, file_path, content, record))
 
+    multi = getattr(store, "mode", "single") == "multi"
     # One device batch per chunk: embed + append.
     for i in range(0, len(todo), batch_size):
         chunk = todo[i : i + batch_size]
         try:
             with METRICS.timer("ingest.batch"):
-                embeddings = embedder.embed([c[2] for c in chunk])
+                if multi:
+                    embeddings = [page_vector_set(embedder, c[2]) for c in chunk]
+                else:
+                    embeddings = embedder.embed([c[2] for c in chunk])
                 memory_ids = store.add(embeddings, [c[3] for c in chunk])
             METRICS.count("ingest.pages", len(chunk))
         except Exception as exc:

@@ -40,8 +40,9 @@ logger = logging.getLogger(__name__)
 NOT_FOUND = "Not found in provided pages."
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 _STOPWORDS = frozenset(
-    "a an and are as at be by for from has have how in is it its of on or "
-    "that the this to was we were what when where which who why will with".split()
+    "a an and are as at be by can could do does did for from has have how in "
+    "is it its may might of on or shall should that the this to was we were "
+    "what when where which who whom why will with would".split()
 )
 
 
@@ -194,7 +195,13 @@ def answer_question(
             pass
 
     with METRICS.timer("qa.retrieve"):
-        query_vec = embedder.embed([question])
+        if getattr(store, "mode", "single") == "multi":
+            # Query SET for late-interaction scoring: the question plus its
+            # content-phrase rewrites each get a vector.
+            query_texts = [question] + rewrite_query(question)
+            query_vec = embedder.embed(query_texts)
+        else:
+            query_vec = embedder.embed([question])
         results = store.search(query_vec, top_k=top_k, doc_id=doc_id)[0]
     METRICS.count("qa.queries", 1)
     if not results:
