@@ -141,10 +141,15 @@ class MultiVectorIndex:
             self._mask_for(doc_id), k,
         )
         results = []
+        rows_host = None
         for score, row in zip(np.asarray(vals), np.asarray(idx)):
             if score <= NEG_INF / 2:
                 continue
             rec = self.metadata[int(row)]
+            if rows_host is None:
+                rows_host = np.asarray(self._rows[np.asarray(idx)])
+                valid_host = np.asarray(self._valid[np.asarray(idx)])
+            pos = int(np.where(np.asarray(idx) == row)[0][0])
             results.append(
                 {
                     "id": rec["memory_id"],
@@ -155,6 +160,7 @@ class MultiVectorIndex:
                         if key not in ("memory_id", "content")
                     },
                     "score": float(score),
+                    "vectors": rows_host[pos][valid_host[pos]],
                 }
             )
         return results

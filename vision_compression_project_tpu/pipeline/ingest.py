@@ -33,13 +33,14 @@ _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 def page_vector_set(embedder, content: str, kmax: int = 8):
     """Multi-vector page representation: the pooled page vector plus up to
     kmax-1 sentence vectors (ColPali-style late interaction; see
-    index/multivector.py)."""
+    index/multivector.py).  Returns (vectors, sentences) with vectors row i+1
+    aligned to sentences[i] (row 0 = pooled page vector)."""
     sentences = [
         sent.strip()
         for sent in _SENT_RE.split(" ".join(content.split()))
         if len(sent.strip()) >= 15
     ][: kmax - 1]
-    return embedder.embed([content] + sentences)
+    return embedder.embed([content] + sentences), sentences
 
 
 def parse_json_file(file_path) -> Dict:
@@ -157,7 +158,13 @@ def ingest_pages_dir(
         try:
             with METRICS.timer("ingest.batch"):
                 if multi:
-                    embeddings = [page_vector_set(embedder, c[2]) for c in chunk]
+                    embeddings = []
+                    for c in chunk:
+                        vecs, sentences = page_vector_set(embedder, c[2])
+                        embeddings.append(vecs)
+                        # Aligned sentence texts ride the record so answer
+                        # composition can reuse the stored vectors.
+                        c[3]["sentences"] = sentences
                 else:
                     embeddings = embedder.embed([c[2] for c in chunk])
                 memory_ids = store.add(embeddings, [c[3] for c in chunk])

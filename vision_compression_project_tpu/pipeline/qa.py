@@ -120,26 +120,51 @@ def _compose_extractive_answer(
     max_chars_per_page: int,
     embedder,
     max_claims: int = 5,
+    question_vec=None,
 ) -> str:
     """Rank evidence sentences by embedding similarity to the question and
     compose cited markdown.  Citations are correct by construction: each
-    sentence cites the page it came from."""
-    candidates = []  # (sentence, page)
+    sentence cites the page it came from.
+
+    When the index stored per-sentence vectors (multi-vector mode), they are
+    reused here — answer composition then embeds nothing but the question."""
+    candidates = []          # (sentence, page)
+    stored_vecs = []         # aligned stored vectors (or None)
     for result in results:
         info = _extract_result_info(result, manifest)
         if info is None:
             continue
         _, page_number, content = info
+        sentences_meta = (
+            result.get("metadata", {}).get("sentences")
+            if isinstance(result, dict) else None
+        )
+        vectors = result.get("vectors") if isinstance(result, dict) else None
+        if sentences_meta and vectors is not None and len(vectors) >= 1:
+            # vectors row 0 is the pooled page vector; rows 1.. align with
+            # sentences_meta.
+            for j, sentence in enumerate(sentences_meta):
+                if j + 1 < len(vectors) and 20 <= len(sentence) <= 500:
+                    candidates.append((sentence, page_number))
+                    stored_vecs.append(np.asarray(vectors[j + 1]))
+            continue
         content = content[:max_chars_per_page]
         for sentence in _SENT_RE.split(" ".join(content.split())):
             sentence = sentence.strip()
             if 20 <= len(sentence) <= 500:
                 candidates.append((sentence, page_number))
+                stored_vecs.append(None)
     if not candidates:
         return NOT_FOUND
-    texts = [question] + [c[0] for c in candidates]
-    vecs = embedder.embed(texts)
-    sims = vecs[1:] @ vecs[0]
+    if question_vec is None:
+        question_vec = embedder.embed([question])[0]
+    missing = [i for i, v in enumerate(stored_vecs) if v is None]
+    if missing:
+        fresh = embedder.embed([candidates[i][0] for i in missing])
+        for i, v in zip(missing, fresh):
+            stored_vecs[i] = v
+    vecs = np.stack(stored_vecs)
+    sims = vecs @ np.asarray(question_vec)
     order = np.argsort(-sims)
     chosen = []
     seen = set()
@@ -221,7 +246,8 @@ def answer_question(
             answer_md = NOT_FOUND
     elif engine == "extractive":
         answer_md = _compose_extractive_answer(
-            question, results, manifest, doc_id, max_chars_per_page, embedder
+            question, results, manifest, doc_id, max_chars_per_page, embedder,
+            question_vec=np.asarray(query_vec)[0],
         )
     else:
         raise ValueError(f"unknown answer engine {engine!r}")
