@@ -294,6 +294,31 @@ class VLMRunner:
         toks = self._start_generate(prompts, vis, max_new)
         return (toks, list(page_numbers))
 
+    def extract_batch_async_glyphs(
+        self,
+        primitives,
+        render_hw,
+        page_numbers: List[int],
+        max_new: Optional[int] = None,
+    ):
+        """Glyph-transport variant: pages arrive as drawable primitives
+        (~KB/page) and the raster is produced ON DEVICE
+        (ops/glyph_render.py), eliminating pixel host->device transfers."""
+        from ..ops.glyph_render import pack_primitives, render_pages_from_glyphs
+
+        max_new = max_new or self.max_new_default
+        h, w = render_hw
+        glyphs, n_glyphs, rects, n_rects = pack_primitives(primitives)
+        pages_gray = render_pages_from_glyphs(
+            jnp.asarray(glyphs), jnp.asarray(n_glyphs),
+            jnp.asarray(rects), jnp.asarray(n_rects), h=h, w=w,
+        )
+        patches = self.preprocess_patches(pages_gray)
+        vis = self._encode(self.params, patches)
+        prompts = [[BOS_ID, TASK_EXTRACT_ID]] * len(page_numbers)
+        toks = self._start_generate(prompts, vis, max_new)
+        return (toks, list(page_numbers))
+
     def collect_extract(self, handle) -> List[Dict]:
         toks, page_numbers = handle
         sequences = self._collect_tokens(toks)

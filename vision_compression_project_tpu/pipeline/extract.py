@@ -178,8 +178,15 @@ def extract_pdf_to_page_jsons(
             try:
                 rasters = raster_futures.pop(ci).result()
                 if engine == "vlm":
-                    stacked = _stack_rasters(rasters, chunk)
-                    handle = runner.extract_batch_async(stacked, page_numbers=chunk)
+                    if isinstance(rasters, dict) and "glyphs" in rasters:
+                        handle = runner.extract_batch_async_glyphs(
+                            rasters["glyphs"], rasters["hw"], page_numbers=chunk
+                        )
+                    else:
+                        stacked = _stack_rasters(rasters, chunk)
+                        handle = runner.extract_batch_async(
+                            stacked, page_numbers=chunk
+                        )
                 else:
                     with METRICS.timer("extract.batch"):
                         records = _extract_chunk(
@@ -233,6 +240,22 @@ def _render_chunk(
     render_dpi = dpi
     if engine == "vlm" and not need_artifacts and model_image_size:
         render_dpi = _model_dpi(doc, pages, dpi, model_image_size)
+        # Glyph transport: ship drawable primitives (~KB/page) and render on
+        # device (ops/glyph_render.py) — unless a page is too dense, in
+        # which case fall back to pixel transport for the whole chunk.
+        primitives = []
+        max_w = max_h = 0
+        for page in pages:
+            glyphs, rects = doc.page_primitives(page - 1, dpi=render_dpi)
+            if len(glyphs) > 1024 or len(rects) > 64:
+                primitives = None
+                break
+            primitives.append((glyphs, rects))
+            w_pts, h_pts = doc.page_size_pts(page - 1)
+            max_w = max(max_w, int(w_pts * render_dpi / 72.0 + 0.5))
+            max_h = max(max_h, int(h_pts * render_dpi / 72.0 + 0.5))
+        if primitives is not None:
+            return {"glyphs": primitives, "hw": (max_h, max_w)}
     lo, hi = min(pages) - 1, max(pages) - 1
     if hi - lo + 1 == len(pages) and len(pages) > 1:  # contiguous batch path
         batch = doc.render_batch(lo, hi, dpi=render_dpi)

@@ -1210,6 +1210,71 @@ int vcpr_render_batch(void* handle, int first, int last, double dpi,
   return n;
 }
 
+// Exports the built-in glyph atlas as 95 x 16 x 8 bytes (0/1), ASCII 32..126
+// — the device renderer samples the same bitmaps the CPU renderer uses.
+int vcpr_glyph_atlas(unsigned char* out) {
+  for (int g = 0; g < 95; g++)
+    for (int y = 0; y < kGlyphH; y++)
+      for (int x = 0; x < kGlyphW; x++)
+        out[(g * kGlyphH + y) * kGlyphW + x] =
+            (kGlyphs[g][y] & (0x80 >> x)) ? 1 : 0;
+  return 95 * kGlyphH * kGlyphW;
+}
+
+// Exports the page's drawable primitives for on-device rasterization.
+// Glyphs: records of [ascii_code, x_px, y_px_baseline, size_px] (floats),
+// using the SAME geometry the CPU rasterizer uses, so a device renderer
+// reproduces vcpr_render_page exactly for text content.  Returns the number
+// of glyph records (writing at most cap records), or -1 on error.
+long vcpr_get_glyphs(void* handle, int page, double dpi, float* out,
+                     long cap) {
+  auto* doc = static_cast<vcpr::Document*>(handle);
+  if (page < 0 || page >= doc->page_count()) return -1;
+  const auto& pd = doc->page(page);
+  vcpr::InterpResult ir = vcpr::ContentInterp::run(pd);
+  double s = dpi / 72.0;
+  long n = 0;
+  for (auto& run : ir.runs) {
+    double x = run.x * s;
+    double y = (pd.height_pts - run.y) * s;
+    double size_px = run.size * s;
+    double advance = size_px * 0.55;
+    for (char c : run.text) {
+      if (static_cast<unsigned char>(c) >= 0x80) continue;
+      if (n < cap) {
+        out[n * 4 + 0] = static_cast<float>(c);
+        out[n * 4 + 1] = static_cast<float>(x);
+        out[n * 4 + 2] = static_cast<float>(y);
+        out[n * 4 + 3] = static_cast<float>(size_px);
+      }
+      n++;
+      x += advance;
+    }
+  }
+  return n;
+}
+
+// Filled rectangles: records of [x0_px, y0_px, x1_px, y1_px, gray255].
+long vcpr_get_rects(void* handle, int page, double dpi, float* out, long cap) {
+  auto* doc = static_cast<vcpr::Document*>(handle);
+  if (page < 0 || page >= doc->page_count()) return -1;
+  const auto& pd = doc->page(page);
+  vcpr::InterpResult ir = vcpr::ContentInterp::run(pd);
+  double s = dpi / 72.0;
+  long n = 0;
+  for (auto& r : ir.rects) {
+    if (n < cap) {
+      out[n * 5 + 0] = static_cast<float>(r.x * s);
+      out[n * 5 + 1] = static_cast<float>((pd.height_pts - r.y - r.h) * s);
+      out[n * 5 + 2] = static_cast<float>((r.x + r.w) * s);
+      out[n * 5 + 3] = static_cast<float>((pd.height_pts - r.y) * s);
+      out[n * 5 + 4] = static_cast<float>(r.gray * 255.0);
+    }
+    n++;
+  }
+  return n;
+}
+
 // Extracts the text layer of a page (UTF-8).  Returns bytes written (excl.
 // NUL), or -1 on error.  Truncates to cap-1.
 long vcpr_extract_text(void* handle, int page, char* out, long cap) {

@@ -71,8 +71,28 @@ def _load_library() -> ctypes.CDLL:
         lib.vcpr_extract_text.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_long
         ]
+        lib.vcpr_get_glyphs.restype = ctypes.c_long
+        lib.vcpr_get_glyphs.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ]
+        lib.vcpr_get_rects.restype = ctypes.c_long
+        lib.vcpr_get_rects.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ]
+        lib.vcpr_glyph_atlas.restype = ctypes.c_int
+        lib.vcpr_glyph_atlas.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
         _lib = lib
         return lib
+
+
+def glyph_atlas() -> np.ndarray:
+    """(95, 16, 8) uint8 0/1 bitmaps for ASCII 32..126 (the engine's font)."""
+    lib = _load_library()
+    out = np.zeros((95, 16, 8), np.uint8)
+    lib.vcpr_glyph_atlas(out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out
 
 
 class PdfDocument:
@@ -170,6 +190,31 @@ class PdfDocument:
                 raise RasterError(f"page {first + i} failed to render")
             out.append(buf[i, : h * w * 3].reshape(h, w, 3))
         return out
+
+    def page_primitives(self, page: int, dpi: float = 150.0):
+        """Drawable primitives for on-device rasterization: ~KBs per page
+        instead of MBs of pixels (see ops/glyph_render.py).
+
+        Returns (glyphs (N,4) f32 [ascii, x_px, y_px_baseline, size_px],
+        rects (M,5) f32 [x0,y0,x1,y1,gray255])."""
+        cap = 65536
+        buf = np.zeros((cap, 4), np.float32)
+        n = self._lib.vcpr_get_glyphs(
+            self._handle, page, dpi,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        )
+        if n < 0:
+            raise RasterError(f"glyph export failed for page {page}")
+        glyphs = buf[: min(n, cap)].copy()
+        rbuf = np.zeros((4096, 5), np.float32)
+        m = self._lib.vcpr_get_rects(
+            self._handle, page, dpi,
+            rbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 4096,
+        )
+        if m < 0:
+            raise RasterError(f"rect export failed for page {page}")
+        rects = rbuf[: min(m, 4096)].copy()
+        return glyphs, rects
 
     def extract_text(self, page: int, cap: int = 1 << 20) -> str:
         buf = ctypes.create_string_buffer(cap)
