@@ -162,7 +162,7 @@ def render_pages_from_glyphs(
     return jax.vmap(one_page)(glyphs, n_glyphs, rects, n_rects)
 
 
-def pack_primitives(primitives, g_max: int = 1024, m_max: int = 64):
+def pack_primitives(primitives, g_max: int = 2048, m_max: int = 64):
     """Host-side: list of (glyphs (n,4), rects (m,5)) -> padded device arrays."""
     b = len(primitives)
     glyphs = np.zeros((b, g_max, 4), np.float32)

@@ -247,7 +247,7 @@ def _render_chunk(
         max_w = max_h = 0
         for page in pages:
             glyphs, rects = doc.page_primitives(page - 1, dpi=render_dpi)
-            if len(glyphs) > 1024 or len(rects) > 64:
+            if len(glyphs) > 2048 or len(rects) > 64:
                 primitives = None
                 break
             primitives.append((glyphs, rects))
