@@ -65,7 +65,12 @@ def main() -> None:
         assert set(record) == {"page_number", "markdown", "entities", "summary"}
         return elapsed
 
-    run_all(tmp / "warmup")  # compiles every stage
+    # Warmup compiles every stage on one batch; the timed pass covers all pages.
+    stats = extract.extract_pdf_to_page_jsons(
+        pdf, tmp / "warmup", images_dir=None, dpi=DPI, engine="vlm",
+        batch_size=BATCH, runner=runner, save_images=False, end_page=BATCH,
+    )
+    assert len(stats["processed_pages"]) == BATCH
     elapsed = run_all(tmp / "timed")
 
     pages_per_sec = N_PAGES / elapsed
