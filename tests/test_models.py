@@ -106,3 +106,24 @@ def test_moe_preset_forward():
     ids = jnp.zeros((1, 8), jnp.int32)
     logits = runner.model.apply({"params": runner.params}, pages, ids)
     assert logits.shape[-1] == cfg.decoder.vocab
+
+
+def test_vlm_runner_mesh_dp_tp(mesh8):
+    """Mesh-aware serving: params TP/EP-sharded, page batch over data axis."""
+    import numpy as np
+
+    from vision_compression_project_tpu.models import VLMRunner, get_preset
+
+    runner = VLMRunner(get_preset("tiny"), seed=0, mesh=mesh8)
+    # A TP-annotated kernel is physically sharded over the model axis.
+    spec = str(runner.params["decoder"]["block_0"]["mlp"]["gate"]["kernel"].sharding.spec)
+    assert "model" in spec
+    rng = np.random.default_rng(0)
+    pages = rng.integers(0, 256, size=(2, 64, 64, 3), dtype=np.uint8)
+    with mesh8:
+        out = runner.extract_batch(pages, page_numbers=[1, 2], max_new=8)
+    assert len(out) == 2
+    assert set(out[0]) == {"page_number", "markdown", "entities", "summary"}
+    # Same weights => same outputs as the unsharded runner.
+    solo = VLMRunner(get_preset("tiny"), seed=0)
+    assert solo.extract_batch(pages, page_numbers=[1, 2], max_new=8) == out

@@ -111,21 +111,43 @@ class VLMRunner:
         params: Optional[Any] = None,
         seed: int = 0,
         max_new_default: int = 256,
+        mesh=None,
     ):
         self.cfg = cfg
         self.model = OpticalVLM(cfg)
         self.tok = ByteTokenizer()
         self.max_new_default = max_new_default
+        self.mesh = mesh
         if params is None:
             patch_dim = cfg.vision.patch * cfg.vision.patch * 3
             grid = cfg.vision.grid
             dummy_pages = jnp.zeros((1, grid * grid, patch_dim), jnp.bfloat16)
             dummy_ids = jnp.zeros((1, 8), jnp.int32)
-            params = self.model.init(
+            boxed = self.model.init(
                 jax.random.PRNGKey(seed), dummy_pages, dummy_ids
             )["params"]
-            params = nn.meta.unbox(params)
+            if mesh is not None:
+                # Multi-chip serving: TP/EP-shard params per their logical
+                # axes (parallel/sharding.py); page batches ride the data
+                # axis via _shard_batch.  Same code path, DP x TP scaling.
+                from ..parallel.sharding import shard_params
+
+                params = shard_params(boxed, mesh)
+            else:
+                params = nn.meta.unbox(boxed)
         self.params = params
+
+    def _shard_batch(self, x):
+        """Lay a batch-leading array over the mesh data axis (no-op without
+        a mesh; batch must divide the data-axis size)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import AXIS_DATA
+
+        spec = P(AXIS_DATA, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, spec))
 
     # -- compiled pieces ----------------------------------------------------
 
@@ -206,7 +228,7 @@ class VLMRunner:
 
         cfg = self.cfg.vision
         return preprocess_pages(
-            jnp.asarray(pages_u8),
+            self._shard_batch(pages_u8),
             target_h=cfg.image_size,
             target_w=cfg.image_size,
             patch=cfg.patch,
