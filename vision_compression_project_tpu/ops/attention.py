@@ -37,7 +37,6 @@ def _flash_kernel(
     scale: float,
     causal: bool,
     block_k: int,
-    seq_k: int,
 ):
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
@@ -212,7 +211,6 @@ def _flash_forward(q, k, v, kv_len_f, causal, scale, block_q, block_k):
             scale=scale,
             causal=causal,
             block_k=block_k,
-            seq_k=sk,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
