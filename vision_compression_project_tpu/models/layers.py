@@ -24,10 +24,34 @@ def _dtype(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
+import contextlib
+import threading
+
+_plain_mode = threading.local()
+
+
+@contextlib.contextmanager
+def plain_partitioning():
+    """Disable logical-axis param metadata within the context.
+
+    Needed inside shard_map (manual-mesh) regions: flax DenseGeneral
+    re-derives its init metadata at apply time and unboxes it with a
+    sharding constraint built from the RAW logical names, which are not mesh
+    axes — the PP stage runner (train/pp_forward.py) wraps block application
+    in this context so params stay plain there."""
+    prev = getattr(_plain_mode, "on", False)
+    _plain_mode.on = True
+    try:
+        yield
+    finally:
+        _plain_mode.on = prev
+
+
 def dense_init(*logical_axes: Optional[str]):
-    return nn.with_partitioning(
-        nn.initializers.lecun_normal(), tuple(logical_axes)
-    )
+    init = nn.initializers.lecun_normal()
+    if getattr(_plain_mode, "on", False):
+        return init
+    return nn.with_partitioning(init, tuple(logical_axes))
 
 
 class RMSNorm(nn.Module):
