@@ -127,3 +127,35 @@ def test_vlm_runner_mesh_dp_tp(mesh8):
     # Same weights => same outputs as the unsharded runner.
     solo = VLMRunner(get_preset("tiny"), seed=0)
     assert solo.extract_batch(pages, page_numbers=[1, 2], max_new=8) == out
+
+
+def test_logit_mask_constrains_emission(tiny_runner):
+    """Token-level constrained decoding: emitted bytes stay inside the
+    output grammar (printable/UTF-8 + separators), never specials/control."""
+    import numpy as np
+
+    from vision_compression_project_tpu.models.tokenizer import (
+        EOS_ID,
+        SEP_ID,
+    )
+    from vision_compression_project_tpu.models.vlm import UNIT_SEP
+
+    rng = np.random.default_rng(3)
+    pages = rng.integers(0, 256, size=(2, 80, 80, 3), dtype=np.uint8)
+    vis = tiny_runner._encode(
+        tiny_runner.params, tiny_runner.preprocess_patches(pages)
+    )
+    from vision_compression_project_tpu.models.tokenizer import (
+        BOS_ID,
+        TASK_EXTRACT_ID,
+    )
+
+    seqs = tiny_runner._run_generate(
+        [[BOS_ID, TASK_EXTRACT_ID]] * 2, vis, 32, task="extract"
+    )
+    allowed = set(range(0x20, 0x7F)) | set(range(0x80, 0x100)) | {
+        0x09, 0x0A, SEP_ID, UNIT_SEP,
+    }
+    for seq in seqs:
+        assert seq, "should emit at least one token"
+        assert all(t in allowed for t in seq), seq

@@ -42,6 +42,31 @@ from .vit import VisionEncoder
 UNIT_SEP = 0x1F  # byte separating entity list items inside the entities field
 
 
+@functools.lru_cache(maxsize=4)
+def _task_logit_mask(kind: str):
+    """Additive (vocab,) mask constraining emission to the output grammar
+    (the token-level constrained-decoding half of structured output;
+    host-side JSON assembly guarantees the rest).
+
+    'extract': UTF-8 bytes + tab/newline + SEP (field separator) + US
+    (entity separator) + EOS; control bytes and all other specials banned.
+    'answer': UTF-8 bytes + whitespace + EOS only."""
+    import numpy as np
+
+    from .tokenizer import VOCAB_SIZE
+
+    mask = np.full((VOCAB_SIZE,), -1e30, np.float32)
+    allowed = list(range(0x20, 0x7F)) + list(range(0x80, 0x100)) + [0x09, 0x0A]
+    if kind == "extract":
+        allowed += [SEP_ID, EOS_ID, UNIT_SEP]
+    elif kind == "answer":
+        allowed += [EOS_ID]
+    else:
+        raise ValueError(kind)
+    mask[np.asarray(allowed)] = 0.0
+    return mask
+
+
 class OpticalVLM(nn.Module):
     cfg: VLMConfig
 
@@ -168,7 +193,7 @@ class VLMRunner:
             static_argnames=("max_new", "has_vision", "cache_len", "lockstep"),
         )
         def run(
-            params, vision_emb, prompt_ids, prompt_len,
+            params, vision_emb, prompt_ids, prompt_len, logit_mask,
             max_new, has_vision, cache_len, lockstep,
         ):
             b = prompt_ids.shape[0]
@@ -188,7 +213,7 @@ class VLMRunner:
             # Next token comes from the position of the last real prompt token.
             last = jnp.take_along_axis(
                 logits, (kv_len_b - 1)[:, None, None], axis=1
-            )[:, 0]
+            )[:, 0] + logit_mask[None, :]
             first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
 
             out0 = jnp.full((b, max_new), PAD_ID, jnp.int32)
@@ -208,7 +233,9 @@ class VLMRunner:
                 logits_i, caches = apply(
                     OpticalVLM.decode_ids, last_tok, caches, pos
                 )
-                tok = jnp.argmax(logits_i, axis=-1).astype(jnp.int32)
+                tok = jnp.argmax(
+                    logits_i + logit_mask[None, :], axis=-1
+                ).astype(jnp.int32)
                 tok = jnp.where(done, PAD_ID, tok)
                 out = out.at[:, i].set(tok)
                 done = jnp.logical_or(done, tok == EOS_ID)
@@ -239,6 +266,7 @@ class VLMRunner:
         prompts: List[List[int]],
         vision_emb: Optional[jnp.ndarray],
         max_new: int,
+        task: str = "extract",
     ) -> jnp.ndarray:
         """Dispatch generation; returns the device token array WITHOUT
         blocking (JAX async dispatch), so callers can pipeline the next
@@ -273,6 +301,7 @@ class VLMRunner:
             vision_emb,
             jnp.asarray(ids),
             prompt_len,
+            jnp.asarray(_task_logit_mask(task)),
             max_new,
             has_vision,
             cache_len,
@@ -296,9 +325,10 @@ class VLMRunner:
         prompts: List[List[int]],
         vision_emb: Optional[jnp.ndarray],
         max_new: int,
+        task: str = "extract",
     ) -> List[List[int]]:
         return self._collect_tokens(
-            self._start_generate(prompts, vision_emb, max_new)
+            self._start_generate(prompts, vision_emb, max_new, task=task)
         )
 
     def extract_batch_async(
@@ -312,7 +342,9 @@ class VLMRunner:
         max_new = max_new or self.max_new_default
         patches = self.preprocess_patches(pages_u8)
         vis = self._encode(self.params, patches)
-        prompts = [[BOS_ID, TASK_EXTRACT_ID]] * len(page_numbers)
+        # Prompts follow the (possibly padded) device batch; collect_extract
+        # trims to page_numbers, so ragged chunks can ship padded.
+        prompts = [[BOS_ID, TASK_EXTRACT_ID]] * int(pages_u8.shape[0])
         toks = self._start_generate(prompts, vis, max_new)
         return (toks, list(page_numbers))
 
@@ -337,7 +369,7 @@ class VLMRunner:
         )
         patches = self.preprocess_patches(pages_gray)
         vis = self._encode(self.params, patches)
-        prompts = [[BOS_ID, TASK_EXTRACT_ID]] * len(page_numbers)
+        prompts = [[BOS_ID, TASK_EXTRACT_ID]] * len(primitives)
         toks = self._start_generate(prompts, vis, max_new)
         return (toks, list(page_numbers))
 
@@ -398,5 +430,5 @@ class VLMRunner:
             + [SEP_ID]
             + self.tok.encode(evidence_pack)[: self.cfg.decoder.max_seq - 256]
         )
-        seq = self._run_generate([prompt], None, max_new)[0]
+        seq = self._run_generate([prompt], None, max_new, task="answer")[0]
         return self.tok.decode([t for t in seq if t < 256])

@@ -178,12 +178,21 @@ def extract_pdf_to_page_jsons(
             try:
                 rasters = raster_futures.pop(ci).result()
                 if engine == "vlm":
+                    # Pad ragged (last) chunks to the full batch shape so
+                    # every chunk reuses one compiled program; collect trims
+                    # back to the real page list.
+                    pad = batch_size - len(chunk)
                     if isinstance(rasters, dict) and "glyphs" in rasters:
+                        prims = rasters["glyphs"] + [rasters["glyphs"][-1]] * pad
                         handle = runner.extract_batch_async_glyphs(
-                            rasters["glyphs"], rasters["hw"], page_numbers=chunk
+                            prims, rasters["hw"], page_numbers=chunk
                         )
                     else:
                         stacked = _stack_rasters(rasters, chunk)
+                        if pad:
+                            stacked = np.concatenate(
+                                [stacked, np.repeat(stacked[-1:], pad, axis=0)]
+                            )
                         handle = runner.extract_batch_async(
                             stacked, page_numbers=chunk
                         )
