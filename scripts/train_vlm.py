@@ -21,6 +21,8 @@ def main():
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--text_len", type=int, default=384)
     parser.add_argument("--dpi", type=int, default=72)
+    parser.add_argument("--font_size", type=int, default=12)
+    parser.add_argument("--lines", type=int, default=18)
     parser.add_argument("--ckpt_dir", default="checkpoints/vlm")
     parser.add_argument("--ckpt_every", type=int, default=100)
     parser.add_argument("--log_every", type=int, default=10)
@@ -48,7 +50,8 @@ def main():
     step_fn, batch_shardings = make_jitted_train_step(model, tx, mesh, shardings)
 
     data = synthetic_batches(
-        cfg, args.batch, text_len=args.text_len, dpi=args.dpi, seed=args.seed
+        cfg, args.batch, text_len=args.text_len, dpi=args.dpi, seed=args.seed,
+        font_size=args.font_size, lines=args.lines,
     )
     t_start = time.time()
     with mesh:

@@ -121,9 +121,23 @@ _PROD = VLMConfig(
     ),
 )
 
+# Small-but-legible config for the synthetic-OCR learning demo: 512px input
+# resolves large-font rendered text; the decoder is big enough to copy bytes.
+_OCR_DEMO = VLMConfig(
+    vision=VisionConfig(
+        image_size=512, patch=16, dim_local=128, dim_global=256,
+        depth_local=2, depth_global=2, heads_local=4, heads_global=4,
+        window=8, downsample=2,
+    ),
+    decoder=DecoderConfig(
+        dim=256, depth=4, heads=8, kv_heads=4, head_dim=32, max_seq=1024,
+    ),
+)
+
 PRESETS = {
     "tiny": _TINY,
     "tiny_moe": _TINY_MOE,
+    "ocr_demo": _OCR_DEMO,
     "base": _BASE,
     "prod": _PROD,
 }

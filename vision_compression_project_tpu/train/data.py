@@ -69,6 +69,8 @@ def synthetic_batches(
     dpi: int = 72,
     seed: int = 0,
     workdir: Optional[Path] = None,
+    font_size: int = 12,
+    lines: int = 18,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever."""
     from ..raster import PdfDocument, make_pdf
@@ -78,8 +80,8 @@ def synthetic_batches(
     text_len = min(text_len, cfg.decoder.max_seq - cfg.vision.tokens_out - 1)
     step = 0
     while True:
-        texts = [synthetic_page_text(rng) for _ in range(batch_size)]
-        pdf = make_pdf(texts, workdir / f"batch_{step % 4}.pdf")
+        texts = [synthetic_page_text(rng, lines=lines) for _ in range(batch_size)]
+        pdf = make_pdf(texts, workdir / f"batch_{step % 4}.pdf", font_size=font_size)
         with PdfDocument(pdf) as doc:
             rasters = doc.render_batch(0, batch_size - 1, dpi=dpi)
         h = max(r.shape[0] for r in rasters)
