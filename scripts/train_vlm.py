@@ -23,6 +23,10 @@ def main():
     parser.add_argument("--dpi", type=int, default=72)
     parser.add_argument("--font_size", type=int, default=12)
     parser.add_argument("--lines", type=int, default=18)
+    parser.add_argument(
+        "--data", choices=["words", "codes"], default="words",
+        help="codes: random digit pages — loss below ln(10)/digit proves OCR",
+    )
     parser.add_argument("--ckpt_dir", default="checkpoints/vlm")
     parser.add_argument("--ckpt_every", type=int, default=100)
     parser.add_argument("--log_every", type=int, default=10)
@@ -51,7 +55,7 @@ def main():
 
     data = synthetic_batches(
         cfg, args.batch, text_len=args.text_len, dpi=args.dpi, seed=args.seed,
-        font_size=args.font_size, lines=args.lines,
+        font_size=args.font_size, lines=args.lines, kind=args.data,
     )
     t_start = time.time()
     with mesh:

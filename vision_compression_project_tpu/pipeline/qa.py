@@ -222,8 +222,9 @@ def answer_question(
     with METRICS.timer("qa.retrieve"):
         if getattr(store, "mode", "single") == "multi":
             # Query SET for late-interaction scoring: the question plus its
-            # content-phrase rewrites each get a vector.
-            query_texts = [question] + rewrite_query(question)
+            # full content-word rewrite.  (Shorter split phrases measurably
+            # hurt hit@1 — they match generic sentences on most pages.)
+            query_texts = [question] + rewrite_query(question)[:1]
             query_vec = embedder.embed(query_texts)
         else:
             query_vec = embedder.embed([question])

@@ -32,6 +32,21 @@ _WORDS = (
 ).split()
 
 
+def synthetic_code_page(rng: np.random.Generator, lines: int = 8) -> str:
+    """Pages of random digit codes: unpredictable from language statistics,
+    so any loss below the ln(10)/digit blind floor must come from *reading
+    the pixels* — the cleanest probe that vision conditioning works."""
+    title = "Code Sheet " + str(int(rng.integers(100, 999)))
+    body = []
+    for _ in range(lines):
+        groups = " ".join(
+            "".join(str(d) for d in rng.integers(0, 10, size=5))
+            for _ in range(3)
+        )
+        body.append("CODE " + groups)
+    return title + "\n" + "\n".join(body)
+
+
 def synthetic_page_text(rng: np.random.Generator, lines: int = 18) -> str:
     title = " ".join(rng.choice(_WORDS, size=3)).title()
     body = []
@@ -71,6 +86,7 @@ def synthetic_batches(
     workdir: Optional[Path] = None,
     font_size: int = 12,
     lines: int = 18,
+    kind: str = "words",
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever."""
     from ..raster import PdfDocument, make_pdf
@@ -79,8 +95,9 @@ def synthetic_batches(
     workdir = Path(workdir or tempfile.mkdtemp(prefix="vcp_train_"))
     text_len = min(text_len, cfg.decoder.max_seq - cfg.vision.tokens_out - 1)
     step = 0
+    gen = synthetic_code_page if kind == "codes" else synthetic_page_text
     while True:
-        texts = [synthetic_page_text(rng, lines=lines) for _ in range(batch_size)]
+        texts = [gen(rng, lines=lines) for _ in range(batch_size)]
         pdf = make_pdf(texts, workdir / f"batch_{step % 4}.pdf", font_size=font_size)
         with PdfDocument(pdf) as doc:
             rasters = doc.render_batch(0, batch_size - 1, dpi=dpi)
