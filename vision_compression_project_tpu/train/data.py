@@ -32,18 +32,20 @@ _WORDS = (
 ).split()
 
 
-def synthetic_code_page(rng: np.random.Generator, lines: int = 8) -> str:
+def synthetic_code_page(
+    rng: np.random.Generator, lines: int = 8, groups: int = 3, digits: int = 5
+) -> str:
     """Pages of random digit codes: unpredictable from language statistics,
     so any loss below the ln(10)/digit blind floor must come from *reading
     the pixels* — the cleanest probe that vision conditioning works."""
     title = "Code Sheet " + str(int(rng.integers(100, 999)))
     body = []
     for _ in range(lines):
-        groups = " ".join(
-            "".join(str(d) for d in rng.integers(0, 10, size=5))
-            for _ in range(3)
+        gs = " ".join(
+            "".join(str(d) for d in rng.integers(0, 10, size=digits))
+            for _ in range(groups)
         )
-        body.append("CODE " + groups)
+        body.append("CODE " + gs)
     return title + "\n" + "\n".join(body)
 
 
@@ -95,7 +97,14 @@ def synthetic_batches(
     workdir = Path(workdir or tempfile.mkdtemp(prefix="vcp_train_"))
     text_len = min(text_len, cfg.decoder.max_seq - cfg.vision.tokens_out - 1)
     step = 0
-    gen = synthetic_code_page if kind == "codes" else synthetic_page_text
+    if kind == "codes":
+        gen = synthetic_code_page
+    elif kind == "codes_easy":
+        import functools as _ft
+
+        gen = _ft.partial(synthetic_code_page, groups=1, digits=5)
+    else:
+        gen = synthetic_page_text
     while True:
         texts = [gen(rng, lines=lines) for _ in range(batch_size)]
         pdf = make_pdf(texts, workdir / f"batch_{step % 4}.pdf", font_size=font_size)
