@@ -130,8 +130,13 @@ def device_batch(runner_or_cfg, batch: Dict[str, np.ndarray]) -> Dict:
 
     cfg = getattr(runner_or_cfg, "cfg", runner_or_cfg)
     vision = cfg.vision
+    pages = batch["pages_u8"]
+    if pages.ndim == 4 and pages.shape[-1] == 3:
+        # Synthetic pages raster grayscale: ship one channel (3x less
+        # host->device traffic; broadcast after the on-device resize).
+        pages = pages[..., 0]
     patches = preprocess_pages(
-        jnp.asarray(batch["pages_u8"]),
+        jnp.asarray(pages),
         target_h=vision.image_size,
         target_w=vision.image_size,
         patch=vision.patch,
