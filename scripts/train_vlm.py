@@ -27,6 +27,8 @@ def main():
         "--data", choices=["words", "codes", "codes_easy"], default="words",
         help="codes: random digit pages — loss below ln(10)/digit proves OCR",
     )
+    parser.add_argument("--code_groups", type=int, default=3)
+    parser.add_argument("--code_digits", type=int, default=5)
     parser.add_argument("--ckpt_dir", default="checkpoints/vlm")
     parser.add_argument("--ckpt_every", type=int, default=100)
     parser.add_argument("--log_every", type=int, default=10)
@@ -56,6 +58,7 @@ def main():
     data = synthetic_batches(
         cfg, args.batch, text_len=args.text_len, dpi=args.dpi, seed=args.seed,
         font_size=args.font_size, lines=args.lines, kind=args.data,
+        code_groups=args.code_groups, code_digits=args.code_digits,
     )
     t_start = time.time()
     with mesh:

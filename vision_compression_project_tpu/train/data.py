@@ -89,6 +89,8 @@ def synthetic_batches(
     font_size: int = 12,
     lines: int = 18,
     kind: str = "words",
+    code_groups: int = 3,
+    code_digits: int = 5,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever."""
     from ..raster import PdfDocument, make_pdf
@@ -97,11 +99,13 @@ def synthetic_batches(
     workdir = Path(workdir or tempfile.mkdtemp(prefix="vcp_train_"))
     text_len = min(text_len, cfg.decoder.max_seq - cfg.vision.tokens_out - 1)
     step = 0
-    if kind == "codes":
-        gen = synthetic_code_page
-    elif kind == "codes_easy":
-        import functools as _ft
+    import functools as _ft
 
+    if kind == "codes":
+        gen = _ft.partial(
+            synthetic_code_page, groups=code_groups, digits=code_digits
+        )
+    elif kind == "codes_easy":
         gen = _ft.partial(synthetic_code_page, groups=1, digits=5)
     else:
         gen = synthetic_page_text
