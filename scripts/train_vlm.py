@@ -33,6 +33,10 @@ def main():
     parser.add_argument("--ckpt_every", type=int, default=100)
     parser.add_argument("--log_every", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--init_from", default=None,
+        help="checkpoint dir to warm-start params from (curriculum transfer)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -53,6 +57,16 @@ def main():
     mesh = build_mesh()
     print(f"mesh: {dict(mesh.shape)} devices={len(jax.devices())}")
     model, tx, state, shardings = make_train_state(cfg, mesh, lr=args.lr)
+    if args.init_from:
+        from vision_compression_project_tpu.train.checkpoint import load_runner
+
+        runner = load_runner(cfg, args.init_from)
+        state = type(state)(
+            params=jax.device_put(runner.params, shardings),
+            opt_state=state.opt_state,
+            step=state.step,
+        )
+        print(f"warm-started params from {args.init_from}")
     step_fn, batch_shardings = make_jitted_train_step(model, tx, mesh, shardings)
 
     data = synthetic_batches(
