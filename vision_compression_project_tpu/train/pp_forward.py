@@ -10,7 +10,7 @@ keeps the TP path (pipeline bubbles are hostile to token-by-token decode).
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
