@@ -55,3 +55,44 @@ def test_empty_page_renders_white():
         )
     )
     assert (img == 255).all()
+
+
+def test_offcanvas_glyphs_clip_cleanly():
+    """Glyphs positioned partially/fully off-canvas must clip, not wrap."""
+    glyphs = np.array(
+        [
+            [65, -6.0, 10.0, 12.0],    # 'A' hanging off the left edge
+            [66, 60.0, 4.0, 12.0],     # 'B' hanging off the right edge
+            [67, 30.0, -20.0, 12.0],   # 'C' fully above the canvas
+            [68, 30.0, 200.0, 12.0],   # 'D' fully below
+        ],
+        np.float32,
+    )[None]
+    rects = np.zeros((1, 2, 5), np.float32)
+    img = np.asarray(
+        render_pages_from_glyphs(
+            jnp.asarray(glyphs), jnp.asarray(np.array([4], np.int32)),
+            jnp.asarray(rects), jnp.asarray(np.zeros(1, np.int32)),
+            h=64, w=64, chunk=256,
+        )
+    )[0]
+    # Partially-visible glyphs leave some ink; fully-off-canvas glyphs none.
+    assert (img < 128).any()
+    assert (img[40:, :] == 255).all()  # below-canvas glyph contributed nothing
+    assert (img[:, 20:45] == 255).all()  # mid-canvas stays clean (no wraparound)
+
+
+def test_rect_rendering_gray_and_order():
+    """Rects render at their gray level and text draws on top."""
+    glyphs = np.array([[88, 20.0, 30.0, 16.0]], np.float32)[None]  # 'X'
+    rects = np.array([[10.0, 10.0, 50.0, 50.0, 128.0]], np.float32)[None]
+    img = np.asarray(
+        render_pages_from_glyphs(
+            jnp.asarray(glyphs), jnp.asarray(np.ones(1, np.int32)),
+            jnp.asarray(rects), jnp.asarray(np.ones(1, np.int32)),
+            h=64, w=64, chunk=256,
+        )
+    )[0]
+    assert img[12, 12] == 128       # inside rect: gray
+    assert img[5, 5] == 255         # outside rect: white
+    assert (img == 0).any()         # glyph ink present (on top)
