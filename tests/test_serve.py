@@ -190,3 +190,18 @@ def test_metrics_endpoint(server):
     status, _, body = _get(server + "/metrics")
     assert status == 200
     assert "timers" in body and "counters" in body
+
+
+def test_fastapi_factory_gated():
+    """create_app raises a clear error when fastapi is absent (this image)."""
+    import pytest as _pytest
+
+    from vision_compression_project_tpu.serve.app import create_app
+
+    try:
+        import fastapi  # noqa: F401
+        _pytest.skip("fastapi installed here; gating not exercised")
+    except ImportError:
+        pass
+    with _pytest.raises(ImportError, match="stdlib server"):
+        create_app()
