@@ -20,25 +20,24 @@ from vision_compression_project_tpu.pipeline import qa
 
 
 def save_answer(question: str, result: dict, answers_dir: Path) -> Path:
+    """Answer file in the reference's exact format (reference
+    qa_with_supermemory_and_gemini.py:324-366): Question / Answer sections,
+    a '---' rule, then '# Retrieved Pages (for debugging)' with
+    '- Page N: memory_id=M' lines."""
     answers_dir.mkdir(parents=True, exist_ok=True)
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     path = answers_dir / f"{timestamp}_answer.md"
-    lines = [
-        "# Question",
-        "",
-        question,
-        "",
-        "# Answer",
-        "",
-        result["answer_md"],
-        "",
-        "# Retrieved Pages (for debugging)",
-        "",
-    ]
-    for r in result["retrieved"]:
-        lines.append(f"- Page {r['page']} (memory_id={r['memory_id']})")
-        lines.append(f"  > {r['excerpt']}")
-    path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    pages_list = "\n".join(
+        f"- Page {r['page']}: memory_id={r['memory_id']}"
+        for r in result["retrieved"]
+    )
+    content = (
+        f"# Question\n\n{question}\n\n"
+        f"# Answer\n\n{result['answer_md']}\n\n"
+        f"---\n\n"
+        f"# Retrieved Pages (for debugging)\n\n{pages_list}\n"
+    )
+    path.write_text(content, encoding="utf-8")
     return path
 
 

@@ -60,3 +60,33 @@ def test_retry_exhausts():
         assert False, "should have raised"
     except ValueError:
         pass
+
+
+def test_repair_truncated_json():
+    from vision_compression_project_tpu.utils.json_utils import (
+        repair_truncated_json,
+    )
+
+    # Cut mid string value.
+    assert repair_truncated_json('{"markdown": "# Title\\n\\nBody tex') == {
+        "markdown": "# Title\n\nBody tex"
+    }
+    # Cut mid escape sequence.
+    assert repair_truncated_json('{"a": "x\\') == {"a": "x"}
+    # Cut after a comma / after a colon.
+    assert repair_truncated_json('{"a": 1,') == {"a": 1}
+    assert repair_truncated_json('{"a":') == {"a": None}
+    # Nested structures.
+    assert repair_truncated_json('{"a": [1, 2, {"b": "c') == {
+        "a": [1, 2, {"b": "c"}]
+    }
+    # Complete JSON is not this function's job.
+    assert repair_truncated_json('{"a": 1}') is None
+
+
+def test_safe_json_loads_truncated_fenced():
+    """The golden-fixture case: fenced JSON cut off mid-markdown recovers
+    the markdown text instead of failing to None."""
+    raw = '```json\n{\n  "page_number": 1,\n  "markdown": "# Doc\\n\\nSome tex'
+    out = safe_json_loads(raw)
+    assert out == {"page_number": 1, "markdown": "# Doc\n\nSome tex"}

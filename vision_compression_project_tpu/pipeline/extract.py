@@ -372,20 +372,29 @@ def create_manifest(
 
 
 def create_combined_markdown(pages_dir, out_path) -> Path:
-    """combined.md: '# Page N' + markdown-or-raw + '---' separators
-    (reference: scripts/extract_pdf_with_gemini.py:226-254)."""
-    from .ingest import parse_json_file
+    """combined.md, byte-compatible with the reference CLI's format
+    (reference: scripts/extract_pdf_with_gemini.py:226-254): per page,
+    '# Page N\\n\\n' + markdown-if-present-else-raw_response + '\\n\\n' +
+    '---\\n\\n' (trailing separator included).  raw_response bodies are kept
+    verbatim (no fence unwrapping) — that is what the golden fixture
+    /root/reference/output/combined.md contains."""
+    import re
 
     pages_dir = Path(pages_dir)
-    sections = []
+    parts: List[str] = []
     for json_path in sorted(pages_dir.glob("page_*.json")):
         try:
-            data = parse_json_file(json_path)
+            data = json.loads(json_path.read_text(encoding="utf-8"))
         except Exception:
             continue
-        page_no = data.get("page_number", 0)
-        body = data.get("markdown") or data.get("raw_response") or ""
-        sections.append(f"# Page {page_no}\n\n{body}\n")
+        match = re.search(r"page_(\d+)\.json$", json_path.name)
+        page_no = int(match.group(1)) if match else data.get("page_number", 0)
+        parts.append(f"# Page {page_no}\n\n")
+        if "markdown" in data:
+            parts.append(f"{data['markdown']}\n\n")
+        elif "raw_response" in data:
+            parts.append(f"{data['raw_response']}\n\n")
+        parts.append("---\n\n")
     out_path = Path(out_path)
-    out_path.write_text("\n---\n\n".join(sections), encoding="utf-8")
+    out_path.write_text("".join(parts), encoding="utf-8")
     return out_path
