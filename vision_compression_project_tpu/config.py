@@ -81,6 +81,8 @@ class RuntimeConfig:
     mesh_model: int = _env_int("VCP_MESH_MODEL", 1)
     # Index storage root (replaces the Supermemory cloud index).
     index_root: str = _env_str("VCP_INDEX_ROOT", "tmp/_index")
+    # Sharded retrieval: '1' force, '0' disable, 'auto' = shard when >1 device.
+    index_sharded: str = _env_str("VCP_INDEX_SHARDED", "auto")
 
 
 RUNTIME = RuntimeConfig()

@@ -20,10 +20,11 @@ _default_store: Optional["IndexStore"] = None
 
 
 class IndexStore:
-    def __init__(self, root, dim: int, mode: Optional[str] = None):
+    def __init__(self, root, dim: int, mode: Optional[str] = None, mesh=None):
         self.root = Path(root)
         self.dim = dim
         self.mode = mode or RUNTIME.retrieval_mode
+        self.mesh = mesh  # data-axis mesh: route search through the sharded path
         self._lock = threading.Lock()
         if self.mode == "multi":
             from .multivector import MultiVectorIndex
@@ -53,12 +54,39 @@ class IndexStore:
     def search(self, query_embeddings, top_k=8, doc_id=None):
         """Single mode: per-query result lists for (B, dim) queries.
         Multi mode: the (Q, dim) input is ONE query set (question +
-        rewrites); returns [results] for call-site uniformity."""
+        rewrites); returns [results] for call-site uniformity.
+
+        With a data-axis mesh attached (serving at scale), single-mode
+        queries execute the sharded path: per-shard masked matmul + top-k,
+        candidates merged over ICI (parallel/collectives.sharded_cosine_topk)."""
         if self.mode == "multi":
             return [
                 self.index.search(query_embeddings, top_k=top_k, doc_id=doc_id)
             ]
+        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            return self.index.search_sharded(
+                self.mesh, query_embeddings, top_k=top_k, doc_id=doc_id
+            )
         return self.index.search(query_embeddings, top_k=top_k, doc_id=doc_id)
+
+
+def _serving_mesh():
+    """Data-only mesh for sharded retrieval when serving spans >1 device.
+    VCP_INDEX_SHARDED: '1' force, '0' disable, 'auto' (default) = shard
+    whenever more than one device is visible."""
+    knob = RUNTIME.index_sharded
+    if knob == "0":
+        return None
+    import jax
+
+    if knob != "1" and len(jax.devices()) < 2:
+        return None
+    try:
+        from ..parallel import MeshConfig, build_mesh
+
+        return build_mesh(MeshConfig(data=len(jax.devices())))
+    except Exception:
+        return None
 
 
 def get_default_store(dim: Optional[int] = None, root=None) -> IndexStore:
@@ -71,5 +99,5 @@ def get_default_store(dim: Optional[int] = None, root=None) -> IndexStore:
             or _default_store.root != root
             or _default_store.dim != dim
         ):
-            _default_store = IndexStore(root, dim)
+            _default_store = IndexStore(root, dim, mesh=_serving_mesh())
         return _default_store

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.topk import cosine_topk
-from ..parallel.collectives import distributed_topk
+from ..parallel.collectives import sharded_cosine_topk
 from ..parallel.mesh import AXIS_DATA
 
 _ALPHABET = string.ascii_letters + string.digits
@@ -50,6 +50,11 @@ class VectorIndex:
         self._id_to_row: Dict[str, int] = {}
         self._doc_rows: Dict[str, List[int]] = {}
         self._mask_cache: Dict[Optional[str], jnp.ndarray] = {}
+        # Sharded-search residency: padded row copy + per-doc masks laid out
+        # over the mesh data axis, rebuilt lazily after mutation.
+        self._shard_rows = None
+        self._shard_rows_key = None
+        self._shard_masks: Dict[Optional[str], jnp.ndarray] = {}
 
     # -- mutation -----------------------------------------------------------
 
@@ -62,7 +67,13 @@ class VectorIndex:
         while new_cap < needed:
             new_cap *= 2
         self._rows = jnp.pad(self._rows, ((0, new_cap - cap), (0, 0)))
-        self._mask_cache.clear()
+        # Grow cached masks in place (zeros = masked out) instead of
+        # dropping them: under continuous ingest a clear-all forced an
+        # O(capacity) host rebuild per doc per add.
+        self._mask_cache = {
+            doc: jnp.pad(m, (0, new_cap - cap))
+            for doc, m in self._mask_cache.items()
+        }
 
     def add(
         self,
@@ -82,12 +93,14 @@ class VectorIndex:
         if memory_ids is None:
             memory_ids = [_new_memory_id() for _ in range(n)]
         self._ensure_capacity(n)
+        start = self.count
         self._rows = jax.lax.dynamic_update_slice(
-            self._rows, jnp.asarray(embeddings, self.dtype), (self.count, 0)
+            self._rows, jnp.asarray(embeddings, self.dtype), (start, 0)
         )
         ids = []
+        new_rows_by_doc: Dict[str, List[int]] = {}
         for i, (record, mem_id) in enumerate(zip(records, memory_ids)):
-            row = self.count + i
+            row = start + i
             rec = dict(record)
             rec["memory_id"] = mem_id
             self.metadata.append(rec)
@@ -95,9 +108,25 @@ class VectorIndex:
             doc = rec.get("doc_id")
             if doc is not None:
                 self._doc_rows.setdefault(doc, []).append(row)
+                new_rows_by_doc.setdefault(doc, []).append(row)
             ids.append(mem_id)
         self.count += n
-        self._mask_cache.clear()
+        # Incremental mask maintenance: flip only the added rows in cached
+        # masks (O(n) device update) instead of clearing and rebuilding
+        # O(capacity) host arrays for every cached doc.
+        for doc, mask in list(self._mask_cache.items()):
+            if doc is None:
+                self._mask_cache[None] = jax.lax.dynamic_update_slice(
+                    mask, jnp.ones((n,), mask.dtype), (start,)
+                )
+            elif doc in new_rows_by_doc:
+                self._mask_cache[doc] = mask.at[
+                    jnp.asarray(new_rows_by_doc[doc])
+                ].set(1.0)
+        # Sharded residency is stale; rebuilt lazily on next sharded search.
+        self._shard_rows = None
+        self._shard_rows_key = None
+        self._shard_masks.clear()
         return ids
 
     # -- query --------------------------------------------------------------
@@ -132,12 +161,21 @@ class VectorIndex:
         k = min(top_k, self.count)
         mask = self._mask_for(doc_id)
         vals, idx = cosine_topk(self._rows, jnp.asarray(queries), mask, k)
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        return self._results_from(np.asarray(vals), np.asarray(idx))
+
+    def _results_from(
+        self, vals: np.ndarray, idx: np.ndarray
+    ) -> List[List[Dict]]:
+        """(Q, k) scores/rows -> per-query result dicts shaped like the
+        reference's search results {'id', 'content', 'metadata', 'score'}
+        (duck-type compatible with qa's result-info extraction,
+        reference qa.py:102-156)."""
         out: List[List[Dict]] = []
-        for qi in range(queries.shape[0]):
+        for qi in range(vals.shape[0]):
             results = []
             for score, row in zip(vals[qi], idx[qi]):
-                if score <= -1e29:  # masked-out filler when doc has < k rows
+                # Masked-out filler (doc has < k rows) and shard padding.
+                if score <= -1e29 or int(row) >= self.count:
                     continue
                 rec = self.metadata[int(row)]
                 results.append(
@@ -155,54 +193,50 @@ class VectorIndex:
             out.append(results)
         return out
 
+    def _sharded_rows_mask(self, mesh, doc_id: Optional[str]):
+        """Row/mask copies resident with NamedSharding over the mesh data
+        axis, padded to a shard multiple; rebuilt lazily after `add`."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cap = self._rows.shape[0]
+        n_shards = mesh.shape[AXIS_DATA]
+        pad = (-cap) % n_shards
+        key = (id(mesh), cap + pad)
+        if self._shard_rows_key != key:
+            rows = jnp.pad(self._rows, ((0, pad), (0, 0))) if pad else self._rows
+            self._shard_rows = jax.device_put(
+                rows, NamedSharding(mesh, P(AXIS_DATA, None))
+            )
+            self._shard_rows_key = key
+            self._shard_masks.clear()
+        if doc_id not in self._shard_masks:
+            mask = self._mask_for(doc_id)
+            if pad:
+                mask = jnp.pad(mask, (0, pad))
+            self._shard_masks[doc_id] = jax.device_put(
+                mask, NamedSharding(mesh, P(AXIS_DATA))
+            )
+        return self._shard_rows, self._shard_masks[doc_id]
+
     def search_sharded(
         self,
         mesh,
-        query_embedding: np.ndarray,
+        query_embeddings: np.ndarray,
         top_k: int = 8,
         doc_id: Optional[str] = None,
-    ) -> List[Dict]:
-        """Single-query search with rows sharded over the mesh data axis.
-
-        Demonstrates the scale path: local masked matmul per shard, then a
-        tiny all-gather merge of k candidates per shard (ICI), instead of
-        gathering full score vectors.
-        """
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
+    ) -> List[List[Dict]]:
+        """Masked cosine top-k with index rows sharded over the mesh data
+        axis: local masked matmul + top-k per shard, then an all-gather
+        merge of k candidates per shard (tiny, rides ICI) — never a full
+        score-vector gather.  Same (Q queries -> per-query result lists)
+        contract as `search`."""
+        queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
         if self.count == 0:
-            return []
+            return [[] for _ in range(queries.shape[0])]
         k = min(top_k, self.count)
-        cap = self._rows.shape[0]
-        n_shards = mesh.shape[AXIS_DATA]
-        pad = (-cap) % (n_shards * max(k, 1))
-        rows = jnp.pad(self._rows, ((0, pad), (0, 0)))
-        mask = jnp.pad(self._mask_for(doc_id), (0, pad))
-        q = jnp.asarray(np.asarray(query_embedding, np.float32))
-        scores = jnp.where(
-            mask > 0, rows.astype(jnp.float32) @ q, -1e30
-        )
-        scores = jax.device_put(scores, NamedSharding(mesh, P(AXIS_DATA)))
-        vals, idx = distributed_topk(mesh, scores, k)
-        vals, idx = np.asarray(vals), np.asarray(idx)
-        results = []
-        for score, row in zip(vals, idx):
-            if score <= -1e29:
-                continue
-            rec = self.metadata[int(row)]
-            results.append(
-                {
-                    "id": rec["memory_id"],
-                    "content": rec.get("content", ""),
-                    "metadata": {
-                        key: rec[key]
-                        for key in rec
-                        if key not in ("memory_id", "content")
-                    },
-                    "score": float(score),
-                }
-            )
-        return results
+        rows, mask = self._sharded_rows_mask(mesh, doc_id)
+        vals, idx = sharded_cosine_topk(mesh, rows, mask, jnp.asarray(queries), k)
+        return self._results_from(np.asarray(vals), np.asarray(idx))
 
     # -- persistence --------------------------------------------------------
 

@@ -54,6 +54,51 @@ def distributed_topk(
     return fn(scores_sharded)
 
 
+def _local_score_merge(
+    rows_l: jnp.ndarray, mask_l: jnp.ndarray, q: jnp.ndarray, k: int
+):
+    """Inside shard_map: local masked matmul + top-k, then a tiny
+    all-gather merge of k candidates per shard.  rows_l: (r_local, D);
+    mask_l: (r_local,); q: (Q, D) replicated.  Returns replicated
+    ((Q, k) values, (Q, k) global row indices)."""
+    scores = jnp.einsum(
+        "qd,rd->qr", q.astype(jnp.float32), rows_l.astype(jnp.float32)
+    )
+    scores = jnp.where(mask_l[None, :] > 0, scores, -1e30)
+    vals, idx = jax.lax.top_k(scores, k)
+    shard = jax.lax.axis_index(AXIS_DATA)
+    gidx = idx + shard * rows_l.shape[0]
+    all_vals = jax.lax.all_gather(vals, AXIS_DATA, axis=1, tiled=True)
+    all_idx = jax.lax.all_gather(gidx, AXIS_DATA, axis=1, tiled=True)
+    mvals, mpos = jax.lax.top_k(all_vals, k)
+    return mvals, jnp.take_along_axis(all_idx, mpos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "k"))
+def sharded_cosine_topk(
+    mesh: Mesh,
+    rows_sharded: jnp.ndarray,
+    mask_sharded: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-query masked cosine top-k over row-sharded index embeddings.
+
+    rows_sharded: (R, D) with NamedSharding(P('data', None)); mask_sharded:
+    (R,) with P('data'); queries: (Q, D) replicated unit-norm.  The merge
+    traffic is k candidates per shard per query (tiny, rides ICI) instead of
+    full score vectors.  Returns replicated ((Q, k) values, (Q, k) indices).
+    """
+    fn = shard_map(
+        functools.partial(_local_score_merge, k=k),
+        mesh=mesh,
+        in_specs=(P(AXIS_DATA, None), P(AXIS_DATA), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(rows_sharded, mask_sharded, queries)
+
+
 def ring_all_gather_rows(mesh: Mesh, shard_rows: jnp.ndarray) -> jnp.ndarray:
     """All-gather row-sharded embeddings into a replicated matrix.
 
