@@ -74,6 +74,8 @@ UI_HTML = """<!doctype html>
 </div>
 <script>
 const $ = id => document.getElementById(id);
+const esc = s => String(s).replace(/[&<>"']/g,
+  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
 let docId = null;
 fetch('/health').then(r=>r.json()).then(j=>{
   $('status').textContent = j.ok ? 'backend healthy' : 'backend unhealthy';
@@ -92,9 +94,16 @@ $('ingest').onclick = async () => {
     const j = await r.json();
     if (!r.ok) throw new Error(j.detail || r.status);
     docId = j.doc_id;
-    $('ingestResult').textContent =
-      `doc_id=${j.doc_id} · ${j.pages_ingested}/${j.pages_total} pages ingested` +
-      (j.failed_pages.length ? ` · failed: ${j.failed_pages.map(p=>p.page).join(',')}` : '');
+    // Ingest-result card mirroring the reference UI's: doc_id, ingested/total,
+    // and a per-page failed list with errors (reference page.tsx:259-283).
+    let html = `doc_id=<code>${esc(j.doc_id)}</code> · ` +
+      `${j.pages_ingested}/${j.pages_total} pages ingested`;
+    if (j.failed_pages.length) {
+      html += `<div><b>Failed pages:</b><ul>` +
+        j.failed_pages.map(p=>`<li>Page ${p.page}: ${esc(p.error)}</li>`).join('') +
+        `</ul></div>`;
+    }
+    $('ingestResult').innerHTML = html;
     $('ask').disabled = false;
   } catch (e) { $('ingestResult').textContent = 'error: ' + e.message; }
   $('ingest').disabled = false;
@@ -119,7 +128,8 @@ $('ask').onclick = async () => {
     chat.lastChild.textContent = j.answer_md;
     $('evidence').innerHTML = j.retrieved.length ?
       j.retrieved.map(e=>`<div class="ev"><b>Page ${e.page}</b> ` +
-        `<span class="dim">${e.memory_id.slice(0,8)}</span><br>${e.excerpt}</div>`).join('')
+        `<span class="dim">${esc(e.memory_id.slice(0,8))}</span><br>` +
+        `${esc(e.excerpt)}</div>`).join('')
       : 'No evidence returned.';
   } catch (e) {
     chat.insertAdjacentHTML('beforeend', `<div class="msg a"></div>`);
