@@ -255,6 +255,11 @@ def _render_chunk(
         primitives = []
         max_w = max_h = 0
         for page in pages:
+            # Pages with image XObjects or embedded-outline fonts cannot be
+            # reproduced by the on-device glyph renderer: ship pixels.
+            if doc.page_complexity(page - 1) != 0:
+                primitives = None
+                break
             glyphs, rects = doc.page_primitives(page - 1, dpi=render_dpi)
             if len(glyphs) > 2048 or len(rects) > 64:
                 primitives = None

@@ -11,9 +11,10 @@
 // the Pallas preprocessing kernels.
 //
 // Scope: classic + object-stream PDFs, FlateDecode, simple & Type0 fonts
-// (ToUnicode bfchar/bfrange), text showing ops, rect fills.  Embedded glyph
-// outlines are approximated with a built-in bitmap font — sufficient for the
-// OCR-pipeline use case where the VLM consumes page *images*; unsupported
+// (ToUnicode bfchar/bfrange), text showing ops, rect fills, image XObjects
+// (FlateDecode gray/RGB/Indexed and baseline-DCT JPEG — jpeg_decode.h), and
+// embedded-TrueType glyph outlines (FontFile2 — truetype.h) with the
+// built-in bitmap font as fallback for non-embedded fonts.  Unsupported
 // constructs degrade gracefully (blank regions), never crash.
 
 #include <zlib.h>
@@ -32,6 +33,8 @@
 #include <vector>
 
 #include "font.h"
+#include "jpeg_decode.h"
+#include "truetype.h"
 
 namespace vcpr {
 
@@ -362,7 +365,7 @@ static bool inflate_bytes(const std::string& in, std::string* out) {
 // PNG predictors (used by FlateDecode with /Predictor >= 10).
 static void apply_png_predictor(std::string* data, int columns, int colors, int bpc) {
   int bpp = std::max(1, colors * bpc / 8);
-  int rowlen = columns * colors * bpc / 8;
+  int rowlen = (columns * colors * bpc + 7) / 8;  // ceil: sub-byte rows pad
   std::string out;
   std::vector<unsigned char> prev(rowlen, 0);
   size_t p = 0;
@@ -406,18 +409,31 @@ struct Font {
   bool two_byte = false;                 // Type0 Identity encodings
   std::map<uint32_t, double> widths;     // glyph widths /1000
   double default_width = 500;
+  // Embedded TrueType program (FontFile2), when present: real outlines.
+  std::shared_ptr<std::string> ttf_bytes;
+  std::shared_ptr<TtfFont> ttf;
+  std::shared_ptr<std::vector<uint16_t>> cid_to_gid;  // null = identity
+};
+
+struct ImageXObject {
+  int w = 0, h = 0, comps = 1;  // comps: 1 gray / 3 RGB
+  std::vector<uint8_t> px;      // 8-bit interleaved
 };
 
 struct PositionedRun {
   double x, y;        // device-space baseline origin (y: top-down AFTER flip)
   double size;        // device-space font size (pixels at raster time: pts)
   std::string text;   // unicode text
+  const Font* font = nullptr;       // for embedded-outline rendering
+  std::vector<uint32_t> codes;      // original char/CID codes, per glyph
+  std::vector<double> offsets;      // per-glyph x offset from run origin, pts
 };
 
 struct PageData {
   double width_pts = 612, height_pts = 792;
   std::string content;                       // decoded content stream
   std::map<std::string, Font> fonts;         // resource name -> font
+  std::map<std::string, std::shared_ptr<ImageXObject>> images;
 };
 
 class Document {
@@ -599,6 +615,7 @@ class Document {
         }
       }
       load_fonts(resolve(resources), &pd);
+      load_xobjects(resolve(resources), &pd);
       pages_.push_back(std::move(pd));
       return;
     }
@@ -665,7 +682,177 @@ class Document {
       // ToUnicode CMap.
       ObjPtr tu = resolve(get(f, "ToUnicode"));
       if (tu->is(Obj::kStream)) parse_tounicode(decode_stream(tu), &font);
+      // Embedded TrueType program: FontDescriptor /FontFile2, either on the
+      // font itself (simple TrueType) or on DescendantFonts[0]
+      // (Type0/CIDFontType2).
+      ObjPtr fd = resolve(get(f, "FontDescriptor"));
+      if (!fd->is(Obj::kDict) && desc_fonts->is(Obj::kArray) &&
+          !desc_fonts->arr.empty()) {
+        ObjPtr df = resolve(desc_fonts->arr[0]);
+        fd = resolve(get(df, "FontDescriptor"));
+        ObjPtr c2g = resolve(get(df, "CIDToGIDMap"));
+        if (c2g->is(Obj::kStream)) {
+          std::string m = decode_stream(c2g);
+          auto map = std::make_shared<std::vector<uint16_t>>(m.size() / 2);
+          for (size_t i = 0; i + 1 < m.size(); i += 2)
+            (*map)[i / 2] = (static_cast<unsigned char>(m[i]) << 8) |
+                            static_cast<unsigned char>(m[i + 1]);
+          font.cid_to_gid = map;
+        }
+      }
+      if (fd->is(Obj::kDict)) {
+        ObjPtr ff2 = resolve(get(fd, "FontFile2"));
+        if (ff2->is(Obj::kStream)) {
+          auto bytes = std::make_shared<std::string>(decode_stream(ff2));
+          if (!bytes->empty()) {
+            auto ttf = std::make_shared<TtfFont>();
+            if (ttf->parse(*bytes)) {
+              font.ttf_bytes = bytes;  // ttf keeps pointers into these bytes
+              font.ttf = ttf;
+            }
+          }
+        }
+      }
       pd->fonts[name] = std::move(font);
+    }
+  }
+
+  // Decode an image XObject stream into 8-bit gray/RGB pixels.  Returns
+  // null on unsupported constructs (caller leaves the region blank).
+  std::shared_ptr<ImageXObject> decode_image(const ObjPtr& s) {
+    int w = static_cast<int>(resolve(get(s, "Width"))->as_num(0));
+    int h = static_cast<int>(resolve(get(s, "Height"))->as_num(0));
+    int bpc = static_cast<int>(resolve(get(s, "BitsPerComponent"))->as_num(8));
+    if (w <= 0 || h <= 0 || static_cast<long>(w) * h > 64L * 1024 * 1024)
+      return nullptr;
+    // Filter chain; DCTDecode must be last (JPEG bytes).
+    std::vector<std::string> filters;
+    ObjPtr filter = resolve(get(s, "Filter"));
+    if (filter->is(Obj::kName)) filters.push_back(filter->str);
+    if (filter->is(Obj::kArray))
+      for (auto& f : filter->arr) {
+        ObjPtr rf = resolve(f);
+        if (rf->is(Obj::kName)) filters.push_back(rf->str);
+      }
+    bool dct = !filters.empty() && (filters.back() == "DCTDecode" ||
+                                    filters.back() == "DCT");
+    auto img = std::make_shared<ImageXObject>();
+    img->w = w;
+    img->h = h;
+    if (dct) {
+      // Run any pre-filters (rare), then JPEG-decode.
+      std::string cur = s->stream;
+      for (size_t i = 0; i + 1 < filters.size(); i++) {
+        if (filters[i] == "FlateDecode" || filters[i] == "Fl") {
+          std::string out;
+          if (!inflate_bytes(cur, &out)) return nullptr;
+          cur = out;
+        } else if (filters[i] == "ASCIIHexDecode") {
+          // handled by decode_stream for non-image paths; skip for brevity
+          return nullptr;
+        } else {
+          return nullptr;
+        }
+      }
+      JpegDecoder dec;
+      std::vector<uint8_t> px;
+      int jw = 0, jh = 0, jc = 0;
+      if (!dec.decode(cur, &px, &jw, &jh, &jc)) return nullptr;
+      img->w = jw;
+      img->h = jh;
+      img->comps = jc;
+      img->px = std::move(px);
+      return img;
+    }
+    std::string data = decode_stream(s);
+    if (data.empty()) return nullptr;
+    // Color space: DeviceGray / DeviceRGB / Indexed(base, hival, lookup).
+    ObjPtr cs = resolve(get(s, "ColorSpace"));
+    std::string cs_name = cs->is(Obj::kName) ? cs->str : "";
+    std::vector<uint8_t> palette;  // RGB triples for Indexed
+    if (cs->is(Obj::kArray) && !cs->arr.empty()) {
+      ObjPtr head = resolve(cs->arr[0]);
+      if (head->is(Obj::kName) && head->str == "Indexed" &&
+          cs->arr.size() >= 4) {
+        cs_name = "Indexed";
+        ObjPtr lookup = resolve(cs->arr[3]);
+        std::string lut = lookup->is(Obj::kStream) ? decode_stream(lookup)
+                          : lookup->is(Obj::kStr)  ? lookup->str
+                                                   : "";
+        palette.assign(lut.begin(), lut.end());
+      } else if (head->is(Obj::kName) && head->str == "ICCBased" &&
+                 cs->arr.size() >= 2) {
+        ObjPtr prof = resolve(cs->arr[1]);
+        int n = static_cast<int>(resolve(get(prof, "N"))->as_num(3));
+        cs_name = n == 1 ? "DeviceGray" : "DeviceRGB";
+      }
+    }
+    int comps_in = cs_name == "DeviceRGB" ? 3
+                   : cs_name == "DeviceGray" || cs_name == "Indexed" ||
+                           cs_name == "CalGray"
+                       ? 1
+                   : cs_name == "CalRGB" ? 3
+                                         : (bpc == 8 ? 3 : 1);
+    img->comps = cs_name == "Indexed" ? 3 : (comps_in == 3 ? 3 : 1);
+    img->px.assign(static_cast<size_t>(w) * h * img->comps, 0);
+    long row_bits = static_cast<long>(w) * comps_in * bpc;
+    long row_bytes = (row_bits + 7) / 8;
+    if (static_cast<long>(data.size()) < row_bytes * h) return nullptr;
+    for (int y = 0; y < h; y++) {
+      const unsigned char* row =
+          reinterpret_cast<const unsigned char*>(data.data()) + y * row_bytes;
+      for (int x = 0; x < w; x++) {
+        int vals[3] = {0, 0, 0};
+        for (int ci = 0; ci < comps_in; ci++) {
+          long bit = (static_cast<long>(x) * comps_in + ci) * bpc;
+          int v;
+          if (bpc == 8) {
+            v = row[bit / 8];
+          } else if (bpc == 1) {
+            v = (row[bit / 8] >> (7 - bit % 8)) & 1 ? 255 : 0;
+          } else if (bpc == 4) {
+            v = (row[bit / 8] >> (bit % 8 ? 0 : 4)) & 15;
+            v = v * 17;
+          } else {
+            return nullptr;
+          }
+          vals[ci] = v;
+        }
+        uint8_t* out =
+            img->px.data() + (static_cast<size_t>(y) * w + x) * img->comps;
+        if (cs_name == "Indexed") {
+          int idx = bpc == 8 ? vals[0]
+                    : bpc == 1 ? (vals[0] ? 1 : 0)
+                               : vals[0] / 17;
+          size_t pi = static_cast<size_t>(idx) * 3;
+          if (pi + 2 < palette.size()) {
+            out[0] = palette[pi];
+            out[1] = palette[pi + 1];
+            out[2] = palette[pi + 2];
+          }
+        } else if (img->comps == 3) {
+          out[0] = vals[0];
+          out[1] = comps_in > 1 ? vals[1] : vals[0];
+          out[2] = comps_in > 2 ? vals[2] : vals[0];
+        } else {
+          out[0] = vals[0];
+        }
+      }
+    }
+    return img;
+  }
+
+  void load_xobjects(const ObjPtr& resources, PageData* pd) {
+    if (!resources->is(Obj::kDict)) return;
+    ObjPtr xobjs = resolve(get(resources, "XObject"));
+    if (!xobjs->is(Obj::kDict)) return;
+    for (auto& [name, xref] : xobjs->dict) {
+      ObjPtr x = resolve(xref);
+      if (!x->is(Obj::kStream)) continue;
+      ObjPtr st = resolve(get(x, "Subtype"));
+      if (!st->is(Obj::kName) || st->str != "Image") continue;
+      auto img = decode_image(x);
+      if (img) pd->images[name] = img;
     }
   }
 
@@ -824,9 +1011,15 @@ struct Rect {
   double gray;         // 0 = black fill
 };
 
+struct ImagePlacement {
+  const ImageXObject* img;
+  Mat ctm;  // maps the image's unit square to user space (pts)
+};
+
 struct InterpResult {
   std::vector<PositionedRun> runs;  // y in PDF space (bottom-up)
   std::vector<Rect> rects;
+  std::vector<ImagePlacement> images;
 };
 
 class ContentInterp {
@@ -862,6 +1055,7 @@ class ContentInterp {
       runr.x = trm.e;
       runr.y = trm.f;
       runr.size = size_dev;
+      runr.font = font;
       double advance = 0;
       bool two_byte = font && font->two_byte;
       size_t step = two_byte ? 2 : 1;
@@ -878,6 +1072,10 @@ class ContentInterp {
           uni = std::string(1, static_cast<char>(code));
         if (uni.empty() && two_byte) uni = "?";
         runr.text += uni;
+        runr.codes.push_back(code);
+        // Offset in device pts (uniform-scale approximation of trm).
+        runr.offsets.push_back(
+            advance * (font_size > 0 ? size_dev / font_size : 1.0));
         double w = font ? font->default_width : 500;
         if (font) {
           auto it = font->widths.find(code);
@@ -1005,6 +1203,11 @@ class ContentInterp {
         pending_rects_.clear();
       } else if (op == "n" || op == "S" || op == "s" || op == "W" || op == "W*") {
         pending_rects_.clear();
+      } else if (op == "Do") {
+        auto a = popn(1);
+        auto it = page.images.find(a[0]->str);
+        if (it != page.images.end())
+          res.images.push_back({it->second.get(), ctm});
       } else if (op == "g" || op == "G") {
         gray = popn(1)[0]->as_num(0);
       } else if (op == "rg" || op == "RG") {
@@ -1094,11 +1297,87 @@ static void draw_glyph(unsigned char* img, int W, int H, double x, double y,
   }
 }
 
+// CID/char code -> TrueType glyph id for an embedded font.
+static int code_to_gid(const Font& font, uint32_t code,
+                       const std::string& uni) {
+  const TtfFont& ttf = *font.ttf;
+  if (font.two_byte) {
+    // CIDFontType2: CIDToGIDMap (identity by default).
+    if (font.cid_to_gid) {
+      if (code < font.cid_to_gid->size()) return (*font.cid_to_gid)[code];
+      return 0;
+    }
+    return code < static_cast<uint32_t>(ttf.num_glyphs()) ? code : 0;
+  }
+  // Simple TrueType: unicode -> cmap; symbol fonts key at 0xF000+code;
+  // last resort: code as gid (common in subset fonts without cmaps).
+  uint32_t cp = 0;
+  if (!uni.empty()) {
+    // Decode first UTF-8 codepoint.
+    unsigned char c0 = uni[0];
+    if (c0 < 0x80) cp = c0;
+    else if ((c0 >> 5) == 6 && uni.size() >= 2)
+      cp = ((c0 & 31) << 6) | (uni[1] & 63);
+    else if ((c0 >> 4) == 14 && uni.size() >= 3)
+      cp = ((c0 & 15) << 12) | ((uni[1] & 63) << 6) | (uni[2] & 63);
+  }
+  if (cp == 0) cp = code;
+  int gid = ttf.glyph_for_codepoint(cp);
+  if (!gid) gid = ttf.glyph_for_codepoint(0xF000 + code);
+  if (!gid && !ttf.has_cmap() &&
+      code < static_cast<uint32_t>(ttf.num_glyphs()))
+    gid = code;
+  return gid;
+}
+
 static void render_page(const PageData& page, double dpi, unsigned char* out,
                         int W, int H) {
   memset(out, 0xff, static_cast<long>(W) * H * 3);
   InterpResult ir = ContentInterp::run(page);
   double s = dpi / 72.0;
+  // Images first (they are usually backgrounds/figures under text).
+  for (auto& pl : ir.images) {
+    const ImageXObject& im = *pl.img;
+    // Full transform T: image unit square -> raster px (y down):
+    //   user = ctm(unit);  px.x = user.x * s;  px.y = (Hpts - user.y) * s.
+    const Mat& m = pl.ctm;
+    double a = m.a * s, b = -m.b * s;
+    double c = m.c * s, d = -m.d * s;
+    double e = m.e * s, f = (page.height_pts - m.f) * s;
+    // Invert the 2x2 [a c; b d] for device->unit mapping.
+    double det = a * d - b * c;
+    if (fabs(det) < 1e-12) continue;
+    double ia = d / det, ic = -c / det, ib = -b / det, id = a / det;
+    // Device bounding box of the 4 transformed corners.
+    double xs[4], ys[4];
+    const double us[4] = {0, 1, 0, 1}, vs[4] = {0, 0, 1, 1};
+    for (int i = 0; i < 4; i++) {
+      xs[i] = a * us[i] + c * vs[i] + e;
+      ys[i] = b * us[i] + d * vs[i] + f;
+    }
+    int x0 = std::max(0, static_cast<int>(floor(*std::min_element(xs, xs + 4))));
+    int x1 = std::min(W - 1, static_cast<int>(ceil(*std::max_element(xs, xs + 4))));
+    int y0 = std::max(0, static_cast<int>(floor(*std::min_element(ys, ys + 4))));
+    int y1 = std::min(H - 1, static_cast<int>(ceil(*std::max_element(ys, ys + 4))));
+    for (int py = y0; py <= y1; py++) {
+      for (int px = x0; px <= x1; px++) {
+        double dx = (px + 0.5) - e, dy = (py + 0.5) - f;
+        double u = ia * dx + ic * dy;
+        double v = ib * dx + id * dy;
+        if (u < 0 || u >= 1 || v < 0 || v >= 1) continue;
+        int ix = std::min(im.w - 1, static_cast<int>(u * im.w));
+        int iy = std::min(im.h - 1, static_cast<int>((1.0 - v) * im.h));
+        const uint8_t* sp =
+            im.px.data() + (static_cast<size_t>(iy) * im.w + ix) * im.comps;
+        unsigned char* q = out + (static_cast<long>(py) * W + px) * 3;
+        if (im.comps == 3) {
+          q[0] = sp[0]; q[1] = sp[1]; q[2] = sp[2];
+        } else {
+          q[0] = q[1] = q[2] = sp[0];
+        }
+      }
+    }
+  }
   for (auto& r : ir.rects) {
     int x0 = std::max(0, static_cast<int>(r.x * s));
     int y0 = std::max(0, static_cast<int>((page.height_pts - r.y - r.h) * s));
@@ -1117,6 +1396,28 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
     double x = run.x * s;
     double y = (page.height_pts - run.y) * s;
     double size_px = run.size * s;
+    if (run.font && run.font->ttf && run.font->ttf->ok() &&
+        run.codes.size() == run.offsets.size()) {
+      // Real outlines from the embedded TrueType program, positioned by
+      // the PDF width metrics.
+      const TtfFont& ttf = *run.font->ttf;
+      double scale = size_px / ttf.units_per_em();
+      size_t ui = 0;  // byte cursor into run.text (UTF-8, parallel to codes)
+      for (size_t i = 0; i < run.codes.size(); i++) {
+        std::string uni;
+        if (ui < run.text.size()) {
+          unsigned char c0 = run.text[ui];
+          size_t clen = c0 < 0x80 ? 1 : (c0 >> 5) == 6 ? 2
+                        : (c0 >> 4) == 14 ? 3 : 4;
+          uni = run.text.substr(ui, clen);
+          ui += clen;
+        }
+        int gid = code_to_gid(*run.font, run.codes[i], uni);
+        if (gid > 0 || (gid == 0 && run.codes[i] != 32))
+          ttf.rasterize(gid, scale, x + run.offsets[i] * s, y, out, W, H, 0);
+      }
+      continue;
+    }
     double advance = size_px * 0.55;
     for (char c : run.text) {
       if (static_cast<unsigned char>(c) >= 0x80) continue;  // ASCII-only font
@@ -1273,6 +1574,20 @@ long vcpr_get_rects(void* handle, int page, double dpi, float* out, long cap) {
     n++;
   }
   return n;
+}
+
+// Page content classes the on-device glyph renderer cannot reproduce:
+// bit 0 = image XObjects present, bit 1 = embedded-outline fonts present.
+// Callers fall back to pixel transport when nonzero.
+int vcpr_page_complexity(void* handle, int page) {
+  auto* doc = static_cast<vcpr::Document*>(handle);
+  if (page < 0 || page >= doc->page_count()) return -1;
+  const auto& pd = doc->page(page);
+  int flags = 0;
+  if (!pd.images.empty()) flags |= 1;
+  for (auto& [name, f] : pd.fonts)
+    if (f.ttf && f.ttf->ok()) flags |= 2;
+  return flags;
 }
 
 // Extracts the text layer of a page (UTF-8).  Returns bytes written (excl.

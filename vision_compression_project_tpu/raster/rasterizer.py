@@ -83,6 +83,8 @@ def _load_library() -> ctypes.CDLL:
         ]
         lib.vcpr_glyph_atlas.restype = ctypes.c_int
         lib.vcpr_glyph_atlas.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+        lib.vcpr_page_complexity.restype = ctypes.c_int
+        lib.vcpr_page_complexity.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -215,6 +217,15 @@ class PdfDocument:
             raise RasterError(f"rect export failed for page {page}")
         rects = rbuf[: min(m, 4096)].copy()
         return glyphs, rects
+
+    def page_complexity(self, page: int) -> int:
+        """Content the on-device glyph renderer cannot reproduce: bit 0 =
+        image XObjects, bit 1 = embedded-outline fonts.  Nonzero means the
+        extract pipeline must ship pixels, not primitives."""
+        flags = self._lib.vcpr_page_complexity(self._handle, page)
+        if flags < 0:
+            raise RasterError(f"bad page index {page}")
+        return flags
 
     def extract_text(self, page: int, cap: int = 1 << 20) -> str:
         buf = ctypes.create_string_buffer(cap)
