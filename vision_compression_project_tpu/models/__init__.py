@@ -1,4 +1,13 @@
-from .tokenizer import ByteTokenizer, PAD_ID, BOS_ID, EOS_ID, SEP_ID, VOCAB_SIZE
+from .tokenizer import (
+    BPETokenizer,
+    ByteTokenizer,
+    PAD_ID,
+    BOS_ID,
+    EOS_ID,
+    SEP_ID,
+    VOCAB_SIZE,
+    get_tokenizer,
+)
 from .configs import (
     VisionConfig,
     DecoderConfig,
@@ -13,7 +22,9 @@ from .vlm import OpticalVLM, VLMRunner
 from .embedder import HashNGramEmbedder, NeuralEmbedder, get_embedder
 
 __all__ = [
+    "BPETokenizer",
     "ByteTokenizer",
+    "get_tokenizer",
     "PAD_ID",
     "BOS_ID",
     "EOS_ID",

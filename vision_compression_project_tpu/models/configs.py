@@ -46,6 +46,7 @@ class DecoderConfig:
     """Causal LM decoder: RMSNorm + RoPE + GQA + SwiGLU, optional MoE."""
 
     vocab: int = VOCAB_SIZE
+    tokenizer: str = "byte"       # "byte" | "bpe" (models/bpe_merges.json)
     dim: int = 768
     depth: int = 8
     heads: int = 12
@@ -107,7 +108,10 @@ _TINY_MOE = VLMConfig(
 
 _BASE = VLMConfig(
     vision=VisionConfig(),
-    decoder=DecoderConfig(),
+    # Learned BPE (~4k): a page's markdown is hundreds of decode steps, not
+    # thousands — the byte vocab was an architecture-level throughput
+    # ceiling (VERDICT r1).
+    decoder=DecoderConfig(vocab=4096, tokenizer="bpe"),
 )
 
 _PROD = VLMConfig(
@@ -116,6 +120,7 @@ _PROD = VLMConfig(
         heads_local=12, heads_global=16,
     ),
     decoder=DecoderConfig(
+        vocab=4096, tokenizer="bpe",
         dim=2048, depth=24, heads=16, kv_heads=4, head_dim=128,
         max_seq=8192, num_experts=16, expert_every=2,
     ),
@@ -134,10 +139,18 @@ _OCR_DEMO = VLMConfig(
     ),
 )
 
+# ocr_demo with the learned BPE vocab: the same model budget reads whole
+# words per step instead of bytes.
+_OCR_BPE = VLMConfig(
+    vision=_OCR_DEMO.vision,
+    decoder=dataclasses.replace(_OCR_DEMO.decoder, vocab=4096, tokenizer="bpe"),
+)
+
 PRESETS = {
     "tiny": _TINY,
     "tiny_moe": _TINY_MOE,
     "ocr_demo": _OCR_DEMO,
+    "ocr_bpe": _OCR_BPE,
     "base": _BASE,
     "prod": _PROD,
 }

@@ -142,6 +142,43 @@ class Attention(nn.Module):
     def _heads_first(self, x):
         return jnp.transpose(x, (0, 2, 1, 3))  # (B,S,H,D)->(B,H,S,D)
 
+    def _seq_parallel_attn(self, q, k, v, kv_len):
+        """Sequence-parallel path: when the active mesh shards `seq` (>1),
+        whole-sequence attention runs the ppermute ring
+        (ops/ring_attention.py) so each chip holds S/n of the sequence —
+        the framework's SP/long-context mechanism, engaged from inside the
+        model forward rather than as a standalone op.  Returns None (caller
+        falls back to the single-shard kernels) when no seq sharding is
+        active, the length doesn't divide, a kv_len mask is needed, or
+        we're already inside a manual (shard_map) region (the PP runner)."""
+        if getattr(_plain_mode, "on", False):
+            return None
+        from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, AXIS_SEQ
+        from ..parallel.sharding import active_mesh
+
+        mesh = active_mesh()
+        if mesh is None or AXIS_SEQ not in mesh.shape:
+            return None
+        n = mesh.shape[AXIS_SEQ]
+        if n <= 1 or kv_len is not None or q.shape[2] % n != 0:
+            return None
+        from ..ops.ring_attention import ring_attention
+
+        group = self.heads // self.kv_heads
+        if group > 1:  # the ring computes plain MHA; materialize GQA groups
+            k = jnp.repeat(k, group, axis=1)
+            v = jnp.repeat(v, group, axis=1)
+        b, h = q.shape[0], q.shape[1]
+        data = mesh.shape.get(AXIS_DATA, 1)
+        model = mesh.shape.get(AXIS_MODEL, 1)
+        return ring_attention(
+            mesh, q, k, v,
+            axis_name=AXIS_SEQ,
+            causal=self.causal,
+            batch_axis=AXIS_DATA if data > 1 and b % data == 0 else None,
+            head_axis=AXIS_MODEL if model > 1 and h % model == 0 else None,
+        )
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -157,10 +194,12 @@ class Attention(nn.Module):
             sin = jax.lax.dynamic_slice_in_dim(self.rope_sin, positions_offset, s)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        if s >= 128 and s % 128 == 0 and self.head_dim % 8 == 0:
-            o = flash_attention(q, k, v, kv_len=kv_len, causal=self.causal)
-        else:
-            o = mha_reference(q, k, v, kv_len=kv_len, causal=self.causal)
+        o = self._seq_parallel_attn(q, k, v, kv_len)
+        if o is None:
+            if s >= 128 and s % 128 == 0 and self.head_dim % 8 == 0:
+                o = flash_attention(q, k, v, kv_len=kv_len, causal=self.causal)
+            else:
+                o = mha_reference(q, k, v, kv_len=kv_len, causal=self.causal)
         o = jnp.transpose(o, (0, 2, 1, 3))  # (B,S,H,D)
         return self.wo(o)
 

@@ -30,40 +30,48 @@ from .decoder import Decoder
 from .layers import _dtype, dense_init
 from .tokenizer import (
     BOS_ID,
-    ByteTokenizer,
     EOS_ID,
     PAD_ID,
     SEP_ID,
     TASK_ANSWER_ID,
     TASK_EXTRACT_ID,
+    get_tokenizer,
 )
 from .vit import VisionEncoder
 
 UNIT_SEP = 0x1F  # byte separating entity list items inside the entities field
 
 
-@functools.lru_cache(maxsize=4)
-def _task_logit_mask(kind: str):
+_MASK_CACHE: Dict[Tuple[str, str], np.ndarray] = {}
+
+
+def _task_logit_mask(tok, kind: str):
     """Additive (vocab,) mask constraining emission to the output grammar
     (the token-level constrained-decoding half of structured output;
     host-side JSON assembly guarantees the rest).
 
-    'extract': UTF-8 bytes + tab/newline + SEP (field separator) + US
-    (entity separator) + EOS; control bytes and all other specials banned.
-    'answer': UTF-8 bytes + whitespace + EOS only."""
-    import numpy as np
-
-    from .tokenizer import VOCAB_SIZE
-
-    mask = np.full((VOCAB_SIZE,), -1e30, np.float32)
-    allowed = list(range(0x20, 0x7F)) + list(range(0x80, 0x100)) + [0x09, 0x0A]
+    Text tokens are allowed when their byte expansion contains only
+    printable/whitespace bytes — so the same rule covers the byte vocab and
+    any BPE vocab.  'extract' additionally allows SEP (field separator), US
+    (entity separator) and EOS; 'answer' allows EOS only."""
+    key = (tok.cache_key, kind)
+    cached = _MASK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    allowed_bytes = (
+        set(range(0x20, 0x7F)) | set(range(0x80, 0x100)) | {0x09, 0x0A}
+    )
+    mask = np.full((tok.vocab_size,), -1e30, np.float32)
+    for tid, exp in tok.expansions().items():
+        if exp and all(b in allowed_bytes for b in exp):
+            mask[tid] = 0.0
     if kind == "extract":
-        allowed += [SEP_ID, EOS_ID, UNIT_SEP]
+        mask[np.asarray([SEP_ID, EOS_ID, UNIT_SEP])] = 0.0
     elif kind == "answer":
-        allowed += [EOS_ID]
+        mask[EOS_ID] = 0.0
     else:
         raise ValueError(kind)
-    mask[np.asarray(allowed)] = 0.0
+    _MASK_CACHE[key] = mask
     return mask
 
 
@@ -140,7 +148,7 @@ class VLMRunner:
     ):
         self.cfg = cfg
         self.model = OpticalVLM(cfg)
-        self.tok = ByteTokenizer()
+        self.tok = get_tokenizer(cfg)
         self.max_new_default = max_new_default
         self.mesh = mesh
         if params is None:
@@ -301,7 +309,7 @@ class VLMRunner:
             vision_emb,
             jnp.asarray(ids),
             prompt_len,
-            jnp.asarray(_task_logit_mask(task)),
+            jnp.asarray(_task_logit_mask(self.tok, task)),
             max_new,
             has_vision,
             cache_len,
@@ -431,4 +439,6 @@ class VLMRunner:
             + self.tok.encode(evidence_pack)[: self.cfg.decoder.max_seq - 256]
         )
         seq = self._run_generate([prompt], None, max_new, task="answer")[0]
-        return self.tok.decode([t for t in seq if t < 256])
+        # decode() skips ids with no byte expansion (specials), so BPE merge
+        # tokens pass through correctly.
+        return self.tok.decode(seq)

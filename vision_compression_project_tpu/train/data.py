@@ -21,7 +21,15 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from ..models.configs import VLMConfig
-from ..models.tokenizer import BOS_ID, ByteTokenizer, EOS_ID, PAD_ID, SEP_ID, TASK_EXTRACT_ID
+from ..models.tokenizer import (
+    BOS_ID,
+    ByteTokenizer,
+    EOS_ID,
+    PAD_ID,
+    SEP_ID,
+    TASK_EXTRACT_ID,
+    get_tokenizer,
+)
 from ..models.vlm import UNIT_SEP
 from ..pipeline.textmd import structure_page
 
@@ -59,9 +67,9 @@ def synthetic_page_text(rng: np.random.Generator, lines: int = 18) -> str:
     return title + "\n" + "\n".join(body)
 
 
-def target_tokens(text: str, page_number: int, max_len: int) -> np.ndarray:
+def target_tokens(text: str, page_number: int, max_len: int, tok=None) -> np.ndarray:
     """Teacher sequence: BOS TASK markdown SEP summary SEP entities EOS."""
-    tok = ByteTokenizer()
+    tok = tok or ByteTokenizer()
     record = structure_page(text, page_number)
     ids: List[int] = [BOS_ID, TASK_EXTRACT_ID]
     ids += tok.encode(record["markdown"])
@@ -97,6 +105,7 @@ def synthetic_batches(
 
     rng = np.random.default_rng(seed)
     workdir = Path(workdir or tempfile.mkdtemp(prefix="vcp_train_"))
+    tok = get_tokenizer(cfg)
     text_len = min(text_len, cfg.decoder.max_seq - cfg.vision.tokens_out - 1)
     step = 0
     import functools as _ft
@@ -120,7 +129,7 @@ def synthetic_batches(
         for i, r in enumerate(rasters):
             pages[i, : r.shape[0], : r.shape[1]] = r
         tokens = np.stack(
-            [target_tokens(t, i + 1, text_len) for i, t in enumerate(texts)]
+            [target_tokens(t, i + 1, text_len, tok=tok) for i, t in enumerate(texts)]
         )
         yield {"pages_u8": pages, "token_ids": tokens}
         step += 1
