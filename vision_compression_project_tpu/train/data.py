@@ -158,3 +158,80 @@ def device_batch(runner_or_cfg, batch: Dict[str, np.ndarray]) -> Dict:
         "patch_tokens": patches,
         "token_ids": jnp.asarray(batch["token_ids"]),
     }
+
+
+# ---------------------------------------------------------------------------
+# Answer-task supervision (question + evidence pack -> cited answer)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_qa_example(rng: np.random.Generator, doc_id: str = "doc"):
+    """One (question, evidence_pack, answer_md) triple.
+
+    Pages are synthetic sentences; the question targets one specific
+    sentence's content words; the teacher answer is the citation format the
+    extractive engine emits (pipeline/qa.py:_compose_extractive_answer) with
+    the target sentence as the claim — so the LM learns the full serve-time
+    contract: select the relevant evidence sentence, quote it, cite its
+    page, in markdown."""
+    n_pages = int(rng.integers(2, 5))
+    pages = []
+    for _ in range(n_pages):
+        n_sent = int(rng.integers(2, 5))
+        sents = []
+        for _ in range(n_sent):
+            n = int(rng.integers(5, 10))
+            sents.append((" ".join(rng.choice(_WORDS, size=n)) + ".").capitalize())
+        pages.append(sents)
+    tp = int(rng.integers(0, n_pages))         # target page index
+    ts = int(rng.integers(0, len(pages[tp])))  # target sentence index
+    target = pages[tp][ts]
+    content_words = [w for w in target[:-1].lower().split() if len(w) > 3][:4]
+    question = "What about " + " ".join(content_words) + "?"
+    page_numbers = list(range(1, n_pages + 1))
+    parts = []
+    for pno, sents in zip(page_numbers, pages):
+        parts.append(f"[Page {pno} | memory_id=m{pno:02d}]\n" + " ".join(sents))
+    evidence_pack = "\n\n---\n\n".join(parts)
+    answer_md = (
+        f"Based on the retrieved pages ({doc_id} p.{page_numbers[tp]}):\n\n"
+        f"- {target} ({doc_id} p.{page_numbers[tp]})"
+    )
+    return question, evidence_pack, answer_md
+
+
+def qa_batches(
+    cfg: VLMConfig,
+    batch_size: int,
+    text_len: int = 512,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Text-only answer-task batches shaped for the SAME train step as page
+    extraction (blank pages ride the vision tower so one checkpoint serves
+    both tasks): {"pages_u8": blank (B,h,w,3), "token_ids": (B,text_len)}.
+
+    token_ids = BOS TASK_ANSWER question SEP evidence SEP answer EOS —
+    matching VLMRunner.answer's prompt layout so generation continues
+    exactly where the training prompt ends."""
+    from ..models.tokenizer import TASK_ANSWER_ID
+
+    rng = np.random.default_rng(seed)
+    tok = get_tokenizer(cfg)
+    text_len = min(text_len, cfg.decoder.max_seq - cfg.vision.tokens_out - 1)
+    blank = np.full((batch_size, 64, 64, 3), 255, np.uint8)
+    while True:
+        tokens = np.full((batch_size, text_len), PAD_ID, np.int32)
+        for i in range(batch_size):
+            q, ev, ans = _synthetic_qa_example(rng)
+            ids: List[int] = [BOS_ID, TASK_ANSWER_ID]
+            ids += tok.encode(q)
+            ids.append(SEP_ID)
+            ev_ids = tok.encode(ev)
+            ans_ids = tok.encode(ans) + [EOS_ID]
+            budget = text_len - len(ids) - len(ans_ids) - 1
+            ids += ev_ids[: max(0, budget)]
+            ids.append(SEP_ID)
+            ids += ans_ids
+            ids = ids[: text_len - 1] + [EOS_ID] if len(ids) > text_len else ids
+            tokens[i, : len(ids)] = ids
+        yield {"pages_u8": blank, "token_ids": tokens}
