@@ -55,6 +55,32 @@ def build_corpus(n_pages: int = 3000, seed: int = 0) -> list:
                 continue
             texts.append(data.get("markdown", ""))
             texts.append(data.get("summary", "") or "")
+    # General English/markdown: locally installed package docs (METADATA /
+    # *.md long-descriptions) and this repo's own documentation — needed
+    # because the synthetic generator's 30-word vocabulary alone cannot
+    # support ~4k distinct merges.
+    import glob as _glob
+
+    doc_files = []
+    doc_files += _glob.glob(
+        "/opt/venv/lib/python3.12/site-packages/*/METADATA"
+    ) + _glob.glob("/opt/venv/lib/python3.12/site-packages/*.dist-info/METADATA")
+    doc_files += [str(p) for p in Path(__file__).resolve().parent.parent.glob("*.md")]
+    doc_files += [
+        str(p)
+        for p in (Path(__file__).resolve().parent.parent / "docs").glob("**/*.md")
+    ]
+    budget = 6_000_000
+    used = 0
+    for fp in sorted(doc_files):
+        try:
+            body = Path(fp).read_text(encoding="utf-8", errors="ignore")
+        except Exception:
+            continue
+        texts.append(body[:200_000])
+        used += min(len(body), 200_000)
+        if used > budget:
+            break
     return texts
 
 

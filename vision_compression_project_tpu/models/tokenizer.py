@@ -128,8 +128,19 @@ class BPETokenizer:
     # -- training ---------------------------------------------------------------
 
     @classmethod
-    def train(cls, texts: Iterable[str], vocab_size: int = 4096) -> "BPETokenizer":
-        """Classic BPE with incremental pair counts + lazy-deletion heap."""
+    def train(
+        cls,
+        texts: Iterable[str],
+        vocab_size: int = 4096,
+        merge_digits: bool = False,
+    ) -> "BPETokenizer":
+        """Classic BPE with incremental pair counts + lazy-deletion heap.
+
+        merge_digits=False (default) bans merges whose expansion is all
+        ASCII digits: digit sequences in documents are CONTENT (codes,
+        measurements, years) that OCR must read digit-by-digit from pixels;
+        merged digit-pairs would turn that into arbitrary multi-digit
+        classifications and measurably hurt extraction accuracy."""
         import heapq
         from collections import Counter, defaultdict
 
@@ -151,6 +162,7 @@ class BPETokenizer:
 
         n_merges = max(0, vocab_size - FIRST_MERGE_ID)
         merges: List[Tuple[int, int]] = []
+        expand: Dict[int, bytes] = {i: bytes([i]) for i in range(256)}
         next_id = FIRST_MERGE_ID
         while len(merges) < n_merges and heap:
             negc, pair = heapq.heappop(heap)
@@ -158,7 +170,18 @@ class BPETokenizer:
                 continue
             if -negc < 2:
                 break
+            if not merge_digits:
+                exp = expand.get(pair[0], b"") + expand.get(pair[1], b"")
+                n_digits = sum(0x30 <= b <= 0x39 for b in exp)
+                only_sp_digits = all(
+                    0x30 <= b <= 0x39 or b == 0x20 for b in exp
+                )
+                if n_digits >= 2 and only_sp_digits:
+                    pair_counts.pop(pair, None)  # banned: multi-digit merge
+                    pair_words.pop(pair, None)
+                    continue
             merges.append(pair)
+            expand[next_id] = expand.get(pair[0], b"") + expand.get(pair[1], b"")
             a, b = pair
             touched: Counter = Counter()
             for w in list(pair_words.get(pair, ())):

@@ -236,8 +236,18 @@ class VLMRunner:
                 else kv_len_b
             )
 
-            def body(i, carry):
-                out, caches, last_tok, done, pos = carry
+            # while_loop with an all-done early exit: a batch stops decoding
+            # when every row has emitted EOS, so decode cost tracks ACTUAL
+            # output lengths, not the max_new cap (EOS-terminated decode —
+            # the honest-bench requirement and a real serving win).
+            def cond(carry):
+                i, out, caches, last_tok, done, pos = carry
+                return jnp.logical_and(
+                    i < max_new, jnp.logical_not(jnp.all(done))
+                )
+
+            def body(carry):
+                i, out, caches, last_tok, done, pos = carry
                 logits_i, caches = apply(
                     OpticalVLM.decode_ids, last_tok, caches, pos
                 )
@@ -247,10 +257,10 @@ class VLMRunner:
                 tok = jnp.where(done, PAD_ID, tok)
                 out = out.at[:, i].set(tok)
                 done = jnp.logical_or(done, tok == EOS_ID)
-                return out, caches, tok, done, pos + 1
+                return i + 1, out, caches, tok, done, pos + 1
 
-            out, *_ = jax.lax.fori_loop(
-                1, max_new, body, (out0, caches, first_tok, done0, pos0)
+            _, out, *_ = jax.lax.while_loop(
+                cond, body, (jnp.asarray(1), out0, caches, first_tok, done0, pos0)
             )
             return out
 

@@ -45,15 +45,44 @@ def restore_checkpoint(ckpt_dir, target: Any) -> Optional[Any]:
     return checkpointer.restore(path, target)
 
 
+def save_params(ckpt_dir, params, step: int = 0) -> Path:
+    """Params-only serving checkpoint (~1/3 the size of a TrainState one:
+    no fp32 optimizer moments) — the format for committed/shipped weights."""
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"params_{step:08d}"
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(path, params, force=True)
+    checkpointer.wait_until_finished()
+    return path
+
+
+def latest_params(ckpt_dir) -> Optional[Path]:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = sorted(p for p in ckpt_dir.glob("params_*") if p.is_dir())
+    return steps[-1] if steps else None
+
+
 def load_runner(cfg, ckpt_dir, **runner_kwargs):
-    """Build a VLMRunner with params restored from the latest checkpoint
-    (falls back to fresh init if none exists)."""
+    """Build a VLMRunner with params restored from the latest checkpoint —
+    a params-only serving checkpoint (params_NNN) or a full TrainState one
+    (step_NNN), whichever is present (falls back to fresh init)."""
     import jax
 
     from ..models.vlm import VLMRunner
     from .train_step import TrainState, make_optimizer
 
     runner = VLMRunner(cfg, **runner_kwargs)
+    params_path = latest_params(ckpt_dir)
+    if params_path is not None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), runner.params
+        )
+        checkpointer = ocp.StandardCheckpointer()
+        runner.params = checkpointer.restore(params_path, abstract)
+        return runner
     if latest_checkpoint(ckpt_dir) is None:
         return runner
     tx = make_optimizer()
