@@ -55,11 +55,16 @@ def ring_attention(
     axis_name: str = "seq",
     causal: bool = False,
     scale: Optional[float] = None,
+    batch_axis: Optional[str] = None,
+    head_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Attention over (B, H, S, D) with S sharded over `axis_name`.
 
     Returns output with the same sharding as q.  Requires S divisible by the
-    axis size.
+    axis size.  `batch_axis`/`head_axis` optionally co-shard the batch and
+    head dims over other mesh axes (DP/TP composing with SP) — those dims
+    are embarrassingly parallel through the ring, so the only cross-chip
+    traffic stays the seq-axis ppermute.
     """
     b, h, s, d = q.shape
     n = mesh.shape[axis_name]
@@ -96,7 +101,11 @@ def ring_attention(
         )
         return (acc / jnp.maximum(l, 1e-30)).astype(q_shard.dtype)
 
-    spec = P(None, None, axis_name, None)
+    if batch_axis is not None:
+        assert b % mesh.shape[batch_axis] == 0, (b, batch_axis)
+    if head_axis is not None:
+        assert h % mesh.shape[head_axis] == 0, (h, head_axis)
+    spec = P(batch_axis, head_axis, axis_name, None)
     fn = shard_map(
         ring_fn,
         mesh=mesh,

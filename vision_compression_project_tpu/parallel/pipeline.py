@@ -44,8 +44,15 @@ def gpipe(
         is_first = stage == 0
         is_last = stage == n_stages - 1
         x_shape = mb.shape[1:]
-        out0 = jnp.zeros((m,) + x_shape, mb.dtype)
-        carry_in0 = jnp.zeros(x_shape, mb.dtype)
+        # The carries hold device-varying data (each stage's resident
+        # activations), so their zero-init must be typed varying over the
+        # pipeline axis for the vma-checked cond/loop below.
+        out0 = jax.lax.pcast(
+            jnp.zeros((m,) + x_shape, mb.dtype), (axis_name,), to="varying"
+        )
+        carry_in0 = jax.lax.pcast(
+            jnp.zeros(x_shape, mb.dtype), (axis_name,), to="varying"
+        )
         perm = [(j, (j + 1) % n_stages) for j in range(n_stages)]
 
         def step(t, carry):
@@ -82,12 +89,17 @@ def gpipe(
         lambda _: P(axis_name), stacked_params,
         is_leaf=lambda x: hasattr(x, "shape"),
     )
+    # Manual ONLY over the pipeline axis: every other mesh axis (data/seq/
+    # expert) stays automatic, so jit-level DP sharding of the microbatch
+    # batch dim — and the matching psum of replicated-param cotangents in
+    # the backward pass — is inserted by XLA.  This is what lets one
+    # shard_map region compose PP with DP without hand-written collectives.
     fn = shard_map(
         pipe,
         mesh=mesh,
         in_specs=(param_specs, P()),
         out_specs=P(),
-        check_vma=False,
+        axis_names=frozenset({axis_name}),
     )
     return fn(stacked_params, microbatches)
 

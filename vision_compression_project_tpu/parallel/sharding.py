@@ -73,6 +73,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _thread_resources():
+    try:  # maintained home (jax.interpreters.pxla alias is deprecated)
+        from jax._src.mesh import thread_resources
+    except ImportError:  # pragma: no cover - older jax
+        from jax.interpreters.pxla import thread_resources
+    return thread_resources
+
+
+def active_mesh() -> Optional[Mesh]:
+    """The mesh entered via `with mesh:` around the enclosing jit/trace,
+    or None when no mesh context is active (single-chip serving, CPU
+    tests).  Model code uses this to engage mesh-dependent paths (e.g. the
+    ring-attention SP path in models/layers.py) from inside a forward."""
+    mesh = _thread_resources().env.physical_mesh
+    return None if mesh.empty else mesh
+
+
 def constrain(x, logical_axes: Sequence[Optional[str]]):
     """Sharding constraint by logical names under the active mesh context;
     no-op when no mesh is active (single-chip serving, CPU tests).
@@ -80,9 +97,7 @@ def constrain(x, logical_axes: Sequence[Optional[str]]):
     This is how sequence parallelism (SP) materializes: activations
     constrained to ('batch', 'seq', 'embed') are physically sharded over the
     mesh seq axis whenever that axis is >1."""
-    from jax.interpreters import pxla
-
-    mesh = pxla.thread_resources.env.physical_mesh
+    mesh = _thread_resources().env.physical_mesh
     if mesh.empty:
         return x
     spec = nn.logical_to_mesh_axes(tuple(logical_axes), rules=LOGICAL_RULES)

@@ -43,13 +43,16 @@ def pipelined_decoder_hidden(
     x_microbatches: jnp.ndarray,
     mesh,
     axis_name: str = "model",
+    use_moe: bool = False,
 ) -> jnp.ndarray:
     """(M, mb, S, dim) embedded microbatches -> (M, mb, S, dim) hidden states
     after all decoder blocks, computed as an S-stage GPipe over `axis_name`.
 
-    Caller applies the final norm + unembedding (replicated, cheap)."""
+    use_moe=True pipelines a uniformly-MoE decoder (cfg.expert_every == 1;
+    see train/pp_train.py for the scoping rationale).  Caller applies the
+    final norm + unembedding (replicated, cheap)."""
     n_stages = mesh.shape[axis_name]
-    block = DecoderBlock(cfg, use_moe=False)
+    block = DecoderBlock(cfg, use_moe=use_moe)
 
     def stage_fn(stage_params, x):
         per_stage = cfg.depth // n_stages

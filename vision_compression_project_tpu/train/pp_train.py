@@ -1,0 +1,118 @@
+"""Pipeline-parallel TRAINING step: loss + grads through the GPipe decoder.
+
+Completes the PP story (VERDICT r1 item 7): round 1 validated the pipelined
+forward (train/pp_forward.py, tests/test_pp_forward.py); this module takes
+gradients through the same (M + S - 1)-step ppermute schedule and applies
+the optimizer, so a decoder whose depth doesn't fit one chip's HBM can
+train.  Reverse-mode AD needs no bespoke code: the GPipe fori_loop has
+static bounds (lowers to scan), `ppermute` transposes to the reverse ring,
+and because the shard_map region is manual ONLY over the pipeline axis
+(parallel/pipeline.py), XLA's automatic partitioning handles the data-axis
+batch sharding and the matching cotangent psum — PP composes with DP from
+one jit.
+
+MoE stages: supported when the decoder is uniformly MoE (expert_every == 1,
+every block has the same param structure, required by the stage stacking in
+pp_forward.stack_block_params).  Two documented narrowings vs the TP path:
+the Switch load-balancing auxiliary is dropped (flax `sow` inside the
+pipeline's immutable apply is a no-op, and microbatch-local aux terms would
+double-count across fill/drain garbage steps), and expert weights ride the
+pipeline-stage shard rather than the expert axis (stage-local experts; an
+EP x PP factorization is a scale-out follow-up).  Mixed dense/MoE decoders
+(expert_every > 1) keep the TP train path (train/train_step.py) — stacking
+heterogeneous block pytrees is not expressible as one stage axis.
+
+Reference: the reference trains nothing (models were cloud APIs;
+reference backend/app/config.py:44-54) — this subsystem exists so the
+replacement models can be produced inside the framework at any depth.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.configs import DecoderConfig
+from ..models.decoder import Decoder
+from ..models.tokenizer import PAD_ID
+from .pp_forward import pipelined_decoder_hidden
+from .train_step import TrainState, make_optimizer
+
+
+def _supports_pp(cfg: DecoderConfig) -> bool:
+    return cfg.num_experts == 0 or cfg.expert_every == 1
+
+
+def pp_lm_loss(
+    cfg: DecoderConfig,
+    params: Dict,
+    token_ids: jnp.ndarray,
+    mesh,
+    n_micro: int = 4,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """Next-token CE of a causal LM whose blocks run as a GPipe pipeline.
+
+    token_ids: (B, S+1) int32, PAD_ID-padded.  B must divide by n_micro.
+    Embedding and unembedding stay outside the pipeline region (they're
+    one matmul each; the reference-pattern GPipe keeps them on the host
+    stage — here they're replicated over the pipeline axis instead, which
+    XLA partitions over data/model like any other jit op).
+    """
+    assert _supports_pp(cfg), "PP needs a uniform decoder (dense or expert_every=1)"
+    model = Decoder(cfg)
+    ids_in = token_ids[:, :-1]
+    targets = token_ids[:, 1:]
+    emb = model.apply({"params": params}, ids_in, method=Decoder.embed_tokens)
+    b, s, d = emb.shape
+    assert b % n_micro == 0, (b, n_micro)
+    use_moe = cfg.num_experts > 0 and cfg.expert_every == 1
+    hidden = pipelined_decoder_hidden(
+        cfg,
+        params,
+        emb.reshape(n_micro, b // n_micro, s, d),
+        mesh,
+        axis_name=axis_name,
+        use_moe=use_moe,
+    )
+    logits = model.apply(
+        {"params": params},
+        hidden.reshape(b, s, d),
+        method=Decoder.hidden_to_logits,
+    )
+    mask = (targets != PAD_ID).astype(jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), targets
+    )
+    return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_pp_train_step(
+    cfg: DecoderConfig,
+    mesh,
+    lr: float = 3e-4,
+    n_micro: int = 4,
+    axis_name: str = "model",
+):
+    """Returns (tx, jitted step): step(state, token_ids) -> (state, loss).
+
+    token_ids should be device_put sharded over the data axis (dim 0);
+    params replicated or sharded per their logical axes — the pipeline
+    restacks/reshards block params onto the stage axis internally.
+    """
+    tx = make_optimizer(lr)
+
+    def step(state: TrainState, token_ids) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(
+            lambda p: pp_lm_loss(
+                cfg, p, token_ids, mesh, n_micro=n_micro, axis_name=axis_name
+            )
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return tx, jax.jit(step)
