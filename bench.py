@@ -1,20 +1,35 @@
 #!/usr/bin/env python3
 """Headline benchmark: PDF -> structured-JSON ingest throughput per chip.
 
-Measures the full on-device extraction path on the flagship (base) VLM:
+Measures the full on-device extraction path on the flagship VLM:
 C++ batched rasterization -> MXU resize + Pallas normalize/patchify ->
-vision encoder -> projector -> LM prefill -> 128 greedy decode steps per
-page -> host JSON assembly.  This is the path that replaces the reference's
+vision encoder -> projector -> LM prefill -> EOS-terminated greedy decode
+-> host JSON assembly.  This is the path that replaces the reference's
 rasterize -> Gemini-per-page loop (reference backend/app/pipeline/
 pdf_extract.py), whose throughput ceiling was API-bound at O(0.1-1)
 pages/sec (BASELINE.md); vs_baseline is measured against the favorable end
 of that range (1.0 pages/sec).
 
+Decode budget (VERDICT r1 "re-bench honestly"): the cap is 2048 new tokens
+per page — the reference's own extraction budget
+(reference backend/app/config.py:27, MAX_OUTPUT_TOKENS_EXTRACTION here).
+Decode runs the jitted early-exit while_loop (models/vlm.py), so with the
+shipped trained checkpoint a batch stops when every page has emitted EOS
+— cost tracks ACTUAL page output lengths under a realistic cap, exactly
+like a production serving stack.  The JSON line reports the budget, the
+measured mean output length, and whether trained weights were loaded, so
+the number can't silently regress to a short-decode measurement.
+
+Pages are dense 30-line synthetic documents from the training/eval
+distribution (train/data.py::synthetic_page_text) — the same generator the
+shipped checkpoint is trained and quality-eval'd on (scripts/eval_extract).
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -22,8 +37,8 @@ from pathlib import Path
 
 N_PAGES = 64
 BATCH = 32
-MAX_NEW = 128
-DPI = 150
+MAX_NEW = 2048  # reference extraction budget (config.MAX_OUTPUT_TOKENS_EXTRACTION)
+LINES = 30
 BASELINE_PAGES_PER_SEC = 1.0  # reference implied ceiling (BASELINE.md)
 
 
@@ -31,48 +46,59 @@ def main() -> None:
     repo = Path(__file__).resolve().parent
     sys.path.insert(0, str(repo))
 
-    from vision_compression_project_tpu.models import VLMRunner, get_preset
+    import numpy as np
+
+    from vision_compression_project_tpu.config import resolve_checkpoint_dir
+    from vision_compression_project_tpu.models import get_preset
+    from vision_compression_project_tpu.pipeline import extract
     from vision_compression_project_tpu.raster import PdfDocument, make_pdf
+    from vision_compression_project_tpu.train.checkpoint import load_runner
+    from vision_compression_project_tpu.train.data import synthetic_page_text
+
+    preset = os.environ.get("VCP_BENCH_PRESET", "base")
+    cfg = get_preset(preset)
+    ckpt = resolve_checkpoint_dir(preset)
+    runner = load_runner(cfg, ckpt or "/nonexistent", max_new_default=MAX_NEW)
+    trained = bool(ckpt)
 
     tmp = Path(tempfile.mkdtemp(prefix="vcp_bench_"))
-    pages = [
-        f"Benchmark Page {i}\n"
-        + "\n".join(
-            f"Line {j}: throughput measurement text with several words." for j in range(30)
-        )
-        for i in range(N_PAGES)
-    ]
-    pdf = make_pdf(pages, tmp / "bench.pdf")
-
-    import json as json_mod
-
-    from vision_compression_project_tpu.pipeline import extract
-
-    runner = VLMRunner(get_preset("base"), max_new_default=MAX_NEW)
+    rng = np.random.default_rng(7)
+    texts = [synthetic_page_text(rng, lines=LINES) for _ in range(N_PAGES)]
+    # Match the checkpoint's training rendering (legibility at the model's
+    # input resolution); fall back to bench defaults otherwise.
+    font_size = int(os.environ.get("VCP_BENCH_FONT_SIZE", "12"))
+    dpi = int(os.environ.get("VCP_BENCH_DPI", "150"))
+    pdf = make_pdf(texts, tmp / "bench.pdf", font_size=font_size)
 
     with PdfDocument(pdf) as doc:
         assert doc.page_count == N_PAGES
 
-    def run_all(out_dir: Path) -> float:
+    def run_all(out_dir: Path, start=1, end=None) -> float:
         t0 = time.perf_counter()
         stats = extract.extract_pdf_to_page_jsons(
-            pdf, out_dir, images_dir=None, dpi=DPI, engine="vlm",
+            pdf, out_dir, images_dir=None, dpi=dpi, engine="vlm",
             batch_size=BATCH, runner=runner, save_images=False,
+            start_page=start, end_page=end,
         )
         elapsed = time.perf_counter() - t0
-        assert len(stats["processed_pages"]) == N_PAGES, stats
-        record = json_mod.loads((out_dir / "page_001.json").read_text())
+        n = (end or N_PAGES) - start + 1
+        assert len(stats["processed_pages"]) == n, stats
+        record = json.loads((out_dir / "page_001.json").read_text())
         assert set(record) == {"page_number", "markdown", "entities", "summary"}
         return elapsed
 
     # Warmup compiles every stage on one batch; the timed pass covers all pages.
-    stats = extract.extract_pdf_to_page_jsons(
-        pdf, tmp / "warmup", images_dir=None, dpi=DPI, engine="vlm",
-        batch_size=BATCH, runner=runner, save_images=False, end_page=BATCH,
-    )
-    assert len(stats["processed_pages"]) == BATCH
+    run_all(tmp / "warmup", end=BATCH)
     elapsed = run_all(tmp / "timed")
 
+    # Mean generated length (tokens/page) for the honesty fields.
+    tok = runner.tok
+    out_tokens = []
+    for i in range(1, N_PAGES + 1):
+        rec = json.loads((tmp / "timed" / f"page_{i:03d}.json").read_text())
+        n = len(tok.encode(rec["markdown"])) + len(tok.encode(rec["summary"]))
+        n += sum(len(tok.encode(e)) for e in rec["entities"])
+        out_tokens.append(n + 3)  # + separators/EOS
     pages_per_sec = N_PAGES / elapsed
     print(
         json.dumps(
@@ -81,6 +107,12 @@ def main() -> None:
                 "value": round(pages_per_sec, 3),
                 "unit": "pages/sec/chip",
                 "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 3),
+                "decode_budget_tokens": MAX_NEW,
+                "mean_output_tokens": round(
+                    float(np.mean(out_tokens)), 1
+                ),
+                "trained_checkpoint": trained,
+                "preset": preset,
             }
         )
     )

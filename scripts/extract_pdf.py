@@ -14,7 +14,7 @@ from pathlib import Path
 
 import _bootstrap  # noqa: F401
 
-from vision_compression_project_tpu.config import RUNTIME
+from vision_compression_project_tpu.config import resolve_model_preset
 from vision_compression_project_tpu.pipeline import extract
 
 
@@ -71,7 +71,7 @@ def main():
     extract.create_manifest(
         args.pdf, output_dir / "manifest.json", stats,
         dpi=args.dpi, start_page=args.start_page, end_page=args.end_page,
-        model_name=f"vcp-tpu-{RUNTIME.model_preset}",
+        model_name=f"vcp-tpu-{resolve_model_preset()}",
     )
     print(f"Manifest: {output_dir / 'manifest.json'}")
     extract.create_combined_markdown(pages_dir, output_dir / "combined.md")

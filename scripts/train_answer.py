@@ -42,6 +42,7 @@ def main():
     from vision_compression_project_tpu.train import save_checkpoint
     from vision_compression_project_tpu.train.data import (
         device_batch,
+        prefetch_batches,
         qa_batches,
         synthetic_batches,
     )
@@ -66,12 +67,14 @@ def main():
         print(f"warm-started params from {args.init_from}")
     step_fn, batch_shardings = make_jitted_train_step(model, tx, mesh, shardings)
 
-    extract_data = synthetic_batches(
-        cfg, args.batch, text_len=args.text_len, dpi=args.dpi,
-        seed=args.seed, font_size=args.font_size, lines=args.lines,
+    extract_data = prefetch_batches(
+        synthetic_batches(
+            cfg, args.batch, text_len=args.text_len, dpi=args.dpi,
+            seed=args.seed, font_size=args.font_size, lines=args.lines,
+        )
     )
-    answer_data = qa_batches(
-        cfg, args.batch, text_len=args.text_len, seed=args.seed + 7
+    answer_data = prefetch_batches(
+        qa_batches(cfg, args.batch, text_len=args.text_len, seed=args.seed + 7)
     )
     t_start = time.time()
     ex_loss = ans_loss = float("nan")

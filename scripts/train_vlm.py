@@ -46,6 +46,7 @@ def main():
     from vision_compression_project_tpu.train import save_checkpoint
     from vision_compression_project_tpu.train.data import (
         device_batch,
+        prefetch_batches,
         synthetic_batches,
     )
     from vision_compression_project_tpu.train.train_step import (
@@ -69,10 +70,13 @@ def main():
         print(f"warm-started params from {args.init_from}")
     step_fn, batch_shardings = make_jitted_train_step(model, tx, mesh, shardings)
 
-    data = synthetic_batches(
-        cfg, args.batch, text_len=args.text_len, dpi=args.dpi, seed=args.seed,
-        font_size=args.font_size, lines=args.lines, kind=args.data,
-        code_groups=args.code_groups, code_digits=args.code_digits,
+    data = prefetch_batches(
+        synthetic_batches(
+            cfg, args.batch, text_len=args.text_len, dpi=args.dpi,
+            seed=args.seed, font_size=args.font_size, lines=args.lines,
+            kind=args.data, code_groups=args.code_groups,
+            code_digits=args.code_digits,
+        )
     )
     t_start = time.time()
     with mesh:

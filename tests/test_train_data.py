@@ -79,3 +79,26 @@ def test_load_runner_roundtrip(tmp_path, mesh_dp):
     trained = np.asarray(jax.device_get(state.params["proj"]["kernel"]))
     loaded = np.asarray(jax.device_get(runner.params["proj"]["kernel"]))
     np.testing.assert_array_equal(trained, loaded)
+
+
+def test_prefetch_batches_matches_and_propagates_errors():
+    from vision_compression_project_tpu.train.data import prefetch_batches
+
+    def gen():
+        for i in range(5):
+            yield {"i": np.full((2,), i)}
+
+    got = [b["i"][0] for b in prefetch_batches(gen(), depth=2)]
+    assert got == [0, 1, 2, 3, 4]
+
+    def bad():
+        yield {"i": np.zeros(1)}
+        raise RuntimeError("boom")
+
+    it = prefetch_batches(bad(), depth=1)
+    next(it)
+    try:
+        next(it)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "boom" in str(e)

@@ -69,8 +69,9 @@ class RuntimeConfig:
     # Embedding backend: "hash" (deterministic hashed n-gram projection) or "neural".
     embed_backend: str = _env_str("VCP_EMBED_BACKEND", "hash")
     embed_dim: int = _env_int("VCP_EMBED_DIM", 512)
-    # Model preset name (see models/configs.py).
-    model_preset: str = _env_str("VCP_MODEL_PRESET", "tiny")
+    # Model preset name (see models/configs.py); "auto" = the best preset
+    # shipped trained weights exist for (resolve_model_preset), else tiny.
+    model_preset: str = _env_str("VCP_MODEL_PRESET", "auto")
     # Optional checkpoint directory for trained weights.
     checkpoint_dir: Optional[str] = os.environ.get("VCP_CHECKPOINT_DIR")
     # Device batch size for page extraction / embedding.
@@ -86,6 +87,43 @@ class RuntimeConfig:
 
 
 RUNTIME = RuntimeConfig()
+
+# ---------------------------------------------------------------------------
+# Shipped (in-repo) checkpoints: trained weights committed under
+# checkpoints/default/<preset>/params_NNNNNNNN/.  When VCP_CHECKPOINT_DIR is
+# unset, serving auto-loads the shipped checkpoint for the active preset, so
+# a fresh clone answers with trained weights out of the box (the reference
+# shipped no weights at all — its models were cloud APIs).
+# ---------------------------------------------------------------------------
+SHIPPED_CHECKPOINT_ROOT = (
+    Path(__file__).resolve().parents[1] / "checkpoints" / "default"
+)
+
+# Resolution order for VCP_MODEL_PRESET=auto: prefer the largest preset a
+# shipped checkpoint exists for.
+_PRESET_PREFERENCE = ("prod", "base", "ocr_bpe", "ocr_demo", "tiny")
+
+
+def shipped_checkpoint_dir(preset: str) -> Optional[str]:
+    d = SHIPPED_CHECKPOINT_ROOT / preset
+    return str(d) if d.is_dir() and any(d.glob("params_*")) else None
+
+
+def resolve_model_preset() -> str:
+    """RUNTIME.model_preset, with "auto" meaning 'the best preset we ship
+    trained weights for, else tiny'."""
+    preset = RUNTIME.model_preset
+    if preset != "auto":
+        return preset
+    for name in _PRESET_PREFERENCE:
+        if shipped_checkpoint_dir(name):
+            return name
+    return "tiny"
+
+
+def resolve_checkpoint_dir(preset: str) -> Optional[str]:
+    """Explicit VCP_CHECKPOINT_DIR wins; else the shipped checkpoint."""
+    return RUNTIME.checkpoint_dir or shipped_checkpoint_dir(preset)
 
 # Base directory for the service's per-document artifacts (reference main.py:46).
 BASE_TMP_DIR = Path(os.environ.get("VCP_TMP_DIR", "tmp"))

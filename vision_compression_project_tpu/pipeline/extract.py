@@ -45,11 +45,15 @@ def _get_runner():
     try:
         return _RUNNER
     except NameError:
-        cfg = get_preset(RUNTIME.model_preset)
-        if RUNTIME.checkpoint_dir:
+        from ..config import resolve_checkpoint_dir, resolve_model_preset
+
+        preset = resolve_model_preset()
+        cfg = get_preset(preset)
+        ckpt = resolve_checkpoint_dir(preset)
+        if ckpt:
             from ..train.checkpoint import load_runner
 
-            _RUNNER = load_runner(cfg, RUNTIME.checkpoint_dir)
+            _RUNNER = load_runner(cfg, ckpt)
         else:
             _RUNNER = VLMRunner(cfg)
         return _RUNNER
@@ -120,9 +124,10 @@ def extract_pdf_to_page_jsons(
             if runner is not None:
                 model_image_size = runner.cfg.vision.image_size
             else:
+                from ..config import resolve_model_preset
                 from ..models.configs import PRESETS
 
-                model_image_size = PRESETS[RUNTIME.model_preset].vision.image_size
+                model_image_size = PRESETS[resolve_model_preset()].vision.image_size
         else:
             model_image_size = None
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import random
 import re
 import string
@@ -261,8 +262,12 @@ class _BatchedEmbedder:
         import numpy as np
 
         if len(texts) == 1:
+            # Generous bound: this is a lost-worker guard, not a latency SLA
+            # — a cold first query can legitimately sit behind a jit compile
+            # on a loaded host (warmup covers the common case).
+            timeout = float(os.environ.get("VCP_CHAT_EMBED_TIMEOUT_S", "120"))
             return np.stack(
-                [self._state.chat_embed_batcher.submit(texts[0], timeout=30)]
+                [self._state.chat_embed_batcher.submit(texts[0], timeout=timeout)]
             )
         return self._state.embedder.embed(texts)
 
@@ -399,6 +404,12 @@ def warmup(state: ServiceState) -> None:
     t0 = time.time()
     logger.info("warmup: compiling embedder path")
     state.embedder.embed(["warmup text for compilation"])
+    # Also compile the chat-side single-query path (batcher shape) so the
+    # first /chat doesn't pay a jit compile inside its submit window.
+    try:
+        state.chat_embed_batcher.submit("warmup query", timeout=300)
+    except Exception:  # pragma: no cover - warmup is best-effort
+        logger.warning("warmup: chat embed path failed", exc_info=True)
     logger.info("warmup: done in %.1fs", time.time() - t0)
 
 

@@ -135,6 +135,41 @@ def synthetic_batches(
         step += 1
 
 
+def prefetch_batches(
+    it: Iterator[Dict[str, np.ndarray]], depth: int = 2
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Run a host-bound batch generator in a background thread.
+
+    Synthetic-page batches are produced by CPU work (PDF synthesis + C++
+    rasterization + tokenization) that otherwise serializes with the device
+    train step; a depth-bounded queue overlaps the two so the accelerator
+    never waits on page rendering (the reference's analogue was its
+    thread-pooled per-page fan-out, reference backend/app/pipeline/
+    pdf_extract.py:328)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True, name="batch-prefetch").start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def device_batch(runner_or_cfg, batch: Dict[str, np.ndarray]) -> Dict:
     """Host batch -> device train-step batch (patch tokens + token ids)."""
     import jax.numpy as jnp
