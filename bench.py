@@ -48,26 +48,44 @@ def main() -> None:
 
     import numpy as np
 
-    from vision_compression_project_tpu.config import resolve_checkpoint_dir
+    from vision_compression_project_tpu.config import (
+        resolve_checkpoint_dir,
+        resolve_model_preset,
+        shipped_meta,
+    )
     from vision_compression_project_tpu.models import get_preset
     from vision_compression_project_tpu.pipeline import extract
     from vision_compression_project_tpu.raster import PdfDocument, make_pdf
     from vision_compression_project_tpu.train.checkpoint import load_runner
     from vision_compression_project_tpu.train.data import synthetic_page_text
 
-    preset = os.environ.get("VCP_BENCH_PRESET", "base")
+    # Flagship = the best preset with shipped trained weights (VCP_MODEL_
+    # PRESET=auto resolution); override with VCP_BENCH_PRESET.
+    preset = os.environ.get("VCP_BENCH_PRESET")
+    if not preset:
+        preset = resolve_model_preset()
+        if preset == "tiny":  # no shipped weights anywhere: bench base
+            preset = "base"
+    # Smoke-test shrink knobs (defaults are the honest benchmark).
+    global N_PAGES, BATCH
+    N_PAGES = int(os.environ.get("VCP_BENCH_PAGES", N_PAGES))
+    BATCH = int(os.environ.get("VCP_BENCH_BATCH", BATCH))
+    max_new = int(os.environ.get("VCP_BENCH_BUDGET", MAX_NEW))
     cfg = get_preset(preset)
     ckpt = resolve_checkpoint_dir(preset)
-    runner = load_runner(cfg, ckpt or "/nonexistent", max_new_default=MAX_NEW)
+    runner = load_runner(cfg, ckpt or "/nonexistent", max_new_default=max_new)
     trained = bool(ckpt)
 
     tmp = Path(tempfile.mkdtemp(prefix="vcp_bench_"))
     rng = np.random.default_rng(7)
-    texts = [synthetic_page_text(rng, lines=LINES) for _ in range(N_PAGES)]
-    # Match the checkpoint's training rendering (legibility at the model's
-    # input resolution); fall back to bench defaults otherwise.
-    font_size = int(os.environ.get("VCP_BENCH_FONT_SIZE", "12"))
-    dpi = int(os.environ.get("VCP_BENCH_DPI", "150"))
+    # Match the shipped checkpoint's training rendering (legibility at the
+    # model's input resolution — scripts/ship_checkpoint.py meta.json);
+    # fall back to bench defaults otherwise.
+    meta = shipped_meta(preset)
+    font_size = int(os.environ.get("VCP_BENCH_FONT_SIZE", meta.get("font_size", 12)))
+    dpi = int(os.environ.get("VCP_BENCH_DPI", meta.get("dpi", 150)))
+    lines = int(os.environ.get("VCP_BENCH_LINES", meta.get("lines", LINES)))
+    texts = [synthetic_page_text(rng, lines=lines) for _ in range(N_PAGES)]
     pdf = make_pdf(texts, tmp / "bench.pdf", font_size=font_size)
 
     with PdfDocument(pdf) as doc:
@@ -107,12 +125,13 @@ def main() -> None:
                 "value": round(pages_per_sec, 3),
                 "unit": "pages/sec/chip",
                 "vs_baseline": round(pages_per_sec / BASELINE_PAGES_PER_SEC, 3),
-                "decode_budget_tokens": MAX_NEW,
+                "decode_budget_tokens": max_new,
                 "mean_output_tokens": round(
                     float(np.mean(out_tokens)), 1
                 ),
                 "trained_checkpoint": trained,
                 "preset": preset,
+                "page_render": {"lines": lines, "font_size": font_size, "dpi": dpi},
             }
         )
     )

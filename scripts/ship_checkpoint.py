@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Publish a training checkpoint as the shipped in-repo serving weights.
+
+Converts the latest TrainState checkpoint of a training run into a
+params-only checkpoint under checkpoints/default/<preset>/params_NNNNNNNN
+(the directory config.resolve_checkpoint_dir auto-loads when
+VCP_CHECKPOINT_DIR is unset), plus a meta.json recording the training
+rendering (font size / DPI / lines) so bench.py and demos evaluate the
+model on the distribution it was trained for.  The reference shipped no
+weights at all — its models were cloud APIs (reference
+backend/app/config.py:44-54); here a fresh clone serves trained weights
+out of the box."""
+
+import argparse
+import json
+from pathlib import Path
+
+import _bootstrap  # noqa: F401
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--preset", required=True)
+    parser.add_argument("--ckpt_dir", required=True, help="training run dir")
+    parser.add_argument("--font_size", type=int, required=True)
+    parser.add_argument("--dpi", type=int, required=True)
+    parser.add_argument("--lines", type=int, required=True)
+    parser.add_argument("--steps", type=int, default=0, help="trained steps (for meta)")
+    parser.add_argument("--note", default="")
+    args = parser.parse_args()
+
+    from vision_compression_project_tpu.config import SHIPPED_CHECKPOINT_ROOT
+    from vision_compression_project_tpu.models import get_preset
+    from vision_compression_project_tpu.train.checkpoint import (
+        load_runner,
+        save_params,
+    )
+
+    cfg = get_preset(args.preset)
+    runner = load_runner(cfg, str(Path(args.ckpt_dir).resolve()))
+    out = SHIPPED_CHECKPOINT_ROOT / args.preset
+    path = save_params(out, runner.params, step=args.steps)
+    meta = {
+        "preset": args.preset,
+        "font_size": args.font_size,
+        "dpi": args.dpi,
+        "lines": args.lines,
+        "trained_steps": args.steps,
+        "note": args.note,
+    }
+    (out / "meta.json").write_text(json.dumps(meta, indent=1))
+    print(f"shipped: {path}")
+    print(f"meta:    {out / 'meta.json'}")
+
+
+if __name__ == "__main__":
+    main()

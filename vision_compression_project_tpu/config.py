@@ -125,5 +125,17 @@ def resolve_checkpoint_dir(preset: str) -> Optional[str]:
     """Explicit VCP_CHECKPOINT_DIR wins; else the shipped checkpoint."""
     return RUNTIME.checkpoint_dir or shipped_checkpoint_dir(preset)
 
+
+def shipped_meta(preset: str) -> dict:
+    """Training-rendering metadata written by scripts/ship_checkpoint.py
+    (font_size / dpi / lines the weights were trained on); {} if absent."""
+    f = SHIPPED_CHECKPOINT_ROOT / preset / "meta.json"
+    try:
+        import json
+
+        return json.loads(f.read_text())
+    except (OSError, ValueError):
+        return {}
+
 # Base directory for the service's per-document artifacts (reference main.py:46).
 BASE_TMP_DIR = Path(os.environ.get("VCP_TMP_DIR", "tmp"))
