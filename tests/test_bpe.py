@@ -103,3 +103,16 @@ def test_train_data_uses_config_tokenizer():
     n_bpe = int((bpe_t != PAD_ID).sum())
     n_byte = int((byte_t != PAD_ID).sum())
     assert n_bpe < n_byte / 2
+
+
+def test_get_tokenizer_accepts_kind_string():
+    from vision_compression_project_tpu.models.tokenizer import (
+        BPETokenizer,
+        ByteTokenizer,
+        get_tokenizer,
+    )
+
+    assert isinstance(get_tokenizer("byte"), ByteTokenizer)
+    assert isinstance(get_tokenizer("bpe"), BPETokenizer)
+    # a word from the synthetic corpus is a single merged token
+    assert len(get_tokenizer("bpe").encode("model")) == 1

@@ -287,7 +287,14 @@ def get_tokenizer(cfg=None, merges_path=None):
     """Tokenizer for a model config: DecoderConfig.tokenizer selects 'byte'
     (hermetic default) or 'bpe' (loads the committed merges file); vocab
     sizes are validated against the config so embeddings always match."""
-    kind = getattr(getattr(cfg, "decoder", cfg), "tokenizer", "byte") if cfg else "byte"
+    if isinstance(cfg, str):  # accept "byte"/"bpe" directly
+        kind = cfg
+    else:
+        kind = (
+            getattr(getattr(cfg, "decoder", cfg), "tokenizer", "byte")
+            if cfg
+            else "byte"
+        )
     if kind == "byte":
         return ByteTokenizer()
     if kind == "bpe":

@@ -57,11 +57,17 @@ def synthetic_code_page(
     return title + "\n" + "\n".join(body)
 
 
-def synthetic_page_text(rng: np.random.Generator, lines: int = 18) -> str:
-    title = " ".join(rng.choice(_WORDS, size=3)).title()
+def synthetic_page_text(
+    rng: np.random.Generator,
+    lines: int = 18,
+    min_words: int = 5,
+    max_words: int = 10,
+    title_words: int = 3,
+) -> str:
+    title = " ".join(rng.choice(_WORDS, size=title_words)).title()
     body = []
     for _ in range(lines):
-        n = int(rng.integers(5, 11))
+        n = int(rng.integers(min_words, max_words + 1))
         sentence = " ".join(rng.choice(_WORDS, size=n)) + "."
         body.append(sentence.capitalize())
     return title + "\n" + "\n".join(body)
@@ -116,6 +122,13 @@ def synthetic_batches(
         )
     elif kind == "codes_easy":
         gen = _ft.partial(synthetic_code_page, groups=1, digits=5)
+    elif kind == "words_easy":
+        # Short sentences (2-3 words) that stay inside the page width at
+        # large font sizes — the letter-glyph acquisition curriculum stage
+        # (pdfgen does not wrap lines; clipped words would poison targets).
+        gen = _ft.partial(
+            synthetic_page_text, min_words=2, max_words=3, title_words=2
+        )
     else:
         gen = synthetic_page_text
     while True:
