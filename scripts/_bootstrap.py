@@ -18,3 +18,18 @@ if os.environ.get("VCP_PLATFORM"):
     import jax
 
     jax.config.update("jax_platforms", os.environ["VCP_PLATFORM"])
+
+# Persistent XLA compilation cache: training/eval CLIs relaunch as fresh
+# processes per curriculum hop; without this every hop repays the full
+# train-step compile (minutes through the TPU tunnel).  Override the
+# location with JAX_COMPILATION_CACHE_DIR; VCP_NO_COMPILE_CACHE=1 disables.
+if not os.environ.get("VCP_NO_COMPILE_CACHE"):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", str(REPO_ROOT / ".jax_cache")
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
