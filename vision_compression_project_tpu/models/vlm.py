@@ -442,11 +442,14 @@ class VLMRunner:
         self, question: str, evidence_pack: str, max_new: Optional[int] = None
     ) -> str:
         max_new = max_new or self.max_new_default
+        # Trailing SEP conditions generation past the evidence span, exactly
+        # where training supervision begins (train/data.py::qa_batches).
         prompt = (
             [BOS_ID, TASK_ANSWER_ID]
             + self.tok.encode(question)
             + [SEP_ID]
             + self.tok.encode(evidence_pack)[: self.cfg.decoder.max_seq - 256]
+            + [SEP_ID]
         )
         seq = self._run_generate([prompt], None, max_new, task="answer")[0]
         # decode() skips ids with no byte expansion (specials), so BPE merge

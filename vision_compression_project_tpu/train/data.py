@@ -202,9 +202,16 @@ def device_batch(runner_or_cfg, batch: Dict[str, np.ndarray]) -> Dict:
         target_w=vision.image_size,
         patch=vision.patch,
     )
+    token_ids = batch["token_ids"]
+    # Uniform batch structure: tasks without an explicit supervision span
+    # (extraction) supervise every non-pad target token.
+    loss_mask = batch.get("loss_mask")
+    if loss_mask is None:
+        loss_mask = np.ones_like(token_ids)
     return {
         "patch_tokens": patches,
-        "token_ids": jnp.asarray(batch["token_ids"]),
+        "token_ids": jnp.asarray(token_ids),
+        "loss_mask": jnp.asarray(loss_mask),
     }
 
 
@@ -269,6 +276,10 @@ def qa_batches(
     blank = np.full((batch_size, 64, 64, 3), 255, np.uint8)
     while True:
         tokens = np.full((batch_size, text_len), PAD_ID, np.int32)
+        # Supervise ONLY the answer span (after the evidence SEP): the
+        # prompt (question + evidence) is given at serve time, and CE over
+        # it drowns the answer-format gradient ~10:1 otherwise.
+        loss_mask = np.zeros((batch_size, text_len), np.int32)
         for i in range(batch_size):
             q, ev, ans = _synthetic_qa_example(rng)
             ids: List[int] = [BOS_ID, TASK_ANSWER_ID]
@@ -279,7 +290,9 @@ def qa_batches(
             budget = text_len - len(ids) - len(ans_ids) - 1
             ids += ev_ids[: max(0, budget)]
             ids.append(SEP_ID)
+            answer_start = len(ids)  # first answer token index
             ids += ans_ids
             ids = ids[: text_len - 1] + [EOS_ID] if len(ids) > text_len else ids
             tokens[i, : len(ids)] = ids
-        yield {"pages_u8": blank, "token_ids": tokens}
+            loss_mask[i, answer_start : len(ids)] = 1
+        yield {"pages_u8": blank, "token_ids": tokens, "loss_mask": loss_mask}

@@ -66,6 +66,12 @@ def vlm_loss(model: OpticalVLM, params, batch: Dict) -> jnp.ndarray:
     text_logits = logits[:, vis_len:]
     targets = batch["token_ids"][:, 1:]
     mask = (targets != PAD_ID).astype(jnp.float32)
+    # Optional per-token supervision mask (aligned with token_ids): the
+    # answer task supervises ONLY the answer span — without it, ~90% of the
+    # gradient goes to modelling the evidence pack and the answer format
+    # never emerges from the dilution (train/data.py::qa_batches).
+    if "loss_mask" in batch:
+        mask = mask * batch["loss_mask"][:, 1:].astype(jnp.float32)
     ce = optax.softmax_cross_entropy_with_integer_labels(
         text_logits.astype(jnp.float32), targets
     )
@@ -142,6 +148,7 @@ def make_jitted_train_step(model, tx, mesh: Mesh, param_shardings):
     batch_sharding = {
         "patch_tokens": NamedSharding(mesh, P(AXIS_DATA, None, None)),
         "token_ids": NamedSharding(mesh, P(AXIS_DATA, None)),
+        "loss_mask": NamedSharding(mesh, P(AXIS_DATA, None)),
     }
 
     def step(state, batch):
