@@ -438,6 +438,19 @@ class VLMRunner:
                 entities.append(self.tok.decode(current))
         return markdown, summary, entities
 
+    def _blank_vision(self) -> jnp.ndarray:
+        """Vision embedding of a blank page, cached.  The answer task is
+        trained multitask through the same model with a blank page riding
+        the vision tower (train/data.py::qa_batches); generation must
+        present the identical 256-token prefix or the decoder runs 256
+        positions off-distribution and emits extraction-style text."""
+        cached = getattr(self, "_blank_vis_cache", None)
+        if cached is None:
+            blank = np.full((1, 64, 64, 3), 255, np.uint8)
+            cached = self._encode(self.params, self.preprocess_patches(blank))
+            self._blank_vis_cache = cached
+        return cached
+
     def answer(
         self, question: str, evidence_pack: str, max_new: Optional[int] = None
     ) -> str:
@@ -451,7 +464,9 @@ class VLMRunner:
             + self.tok.encode(evidence_pack)[: self.cfg.decoder.max_seq - 256]
             + [SEP_ID]
         )
-        seq = self._run_generate([prompt], None, max_new, task="answer")[0]
+        seq = self._run_generate(
+            [prompt], self._blank_vision(), max_new, task="answer"
+        )[0]
         # decode() skips ids with no byte expansion (specials), so BPE merge
         # tokens pass through correctly.
         return self.tok.decode(seq)
