@@ -455,18 +455,24 @@ class VLMRunner:
         self, question: str, evidence_pack: str, max_new: Optional[int] = None
     ) -> str:
         max_new = max_new or self.max_new_default
-        # Trailing SEP conditions generation past the evidence span, exactly
-        # where training supervision begins (train/data.py::qa_batches).
-        prompt = (
-            [BOS_ID, TASK_ANSWER_ID]
-            + self.tok.encode(question)
-            + [SEP_ID]
-            + self.tok.encode(evidence_pack)[: self.cfg.decoder.max_seq - 256]
-            + [SEP_ID]
+        vis = self._blank_vision()
+        head = [BOS_ID, TASK_ANSWER_ID] + self.tok.encode(question) + [SEP_ID]
+        # Evidence budget: whole context minus vision prefix, question head,
+        # trailing SEP and the decode allowance — mirrors the training-side
+        # truncation (train/data.py::qa_batches) and keeps prefill inside
+        # the model context for any top_k / max_chars_per_page request.
+        budget = (
+            self.cfg.decoder.max_seq
+            - vis.shape[1]
+            - len(head)
+            - 1
+            - min(max_new, 256)
         )
-        seq = self._run_generate(
-            [prompt], self._blank_vision(), max_new, task="answer"
-        )[0]
+        ev_ids = self.tok.encode(evidence_pack)[: max(0, budget)]
+        # Trailing SEP conditions generation past the evidence span, exactly
+        # where training supervision begins.
+        prompt = head + ev_ids + [SEP_ID]
+        seq = self._run_generate([prompt], vis, max_new, task="answer")[0]
         # decode() skips ids with no byte expansion (specials), so BPE merge
         # tokens pass through correctly.
         return self.tok.decode(seq)
