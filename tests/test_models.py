@@ -66,6 +66,19 @@ def test_vlm_answer_runs(tiny_runner):
     assert isinstance(ans, str)
 
 
+def test_vlm_answer_oversized_evidence_stays_in_context(tiny_runner):
+    # top_k 8 x 1500-char pages once overflowed the decoder context when the
+    # blank-vision prefix was added; answer() must truncate, not crash.
+    evidence = "\n\n---\n\n".join(
+        f"[Page {i} | memory_id=m{i:02d}]\n" + ("evidence words " * 120)
+        for i in range(1, 9)
+    )
+    ans = tiny_runner.answer("What about evidence?", evidence, max_new=8)
+    assert isinstance(ans, str)
+    # and the blank-vision prefix is cached after first use
+    assert tiny_runner._blank_vision() is tiny_runner._blank_vision()
+
+
 def test_hash_embedder_semantic_ordering():
     emb = HashNGramEmbedder(EmbedderConfig(dim=256, ngram_buckets=2048))
     docs = [

@@ -461,13 +461,14 @@ class VLMRunner:
         # trailing SEP and the decode allowance — mirrors the training-side
         # truncation (train/data.py::qa_batches) and keeps prefill inside
         # the model context for any top_k / max_chars_per_page request.
-        budget = (
-            self.cfg.decoder.max_seq
-            - vis.shape[1]
-            - len(head)
-            - 1
-            - min(max_new, 256)
+        # _start_generate buckets the prompt length UP to a multiple of 64,
+        # so the allowance must be rounded DOWN to a bucket first.
+        allowed_plen = (
+            (self.cfg.decoder.max_seq - vis.shape[1] - min(max_new, 256))
+            // 64
+            * 64
         )
+        budget = allowed_plen - len(head) - 1
         ev_ids = self.tok.encode(evidence_pack)[: max(0, budget)]
         # Trailing SEP conditions generation past the evidence span, exactly
         # where training supervision begins.
