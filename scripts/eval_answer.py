@@ -23,7 +23,13 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", default="ocr_bpe")
     parser.add_argument("--ckpt_dir", required=True)
-    parser.add_argument("--examples", type=int, default=16)
+    def _positive_int(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--examples must be >= 1")
+        return n
+
+    parser.add_argument("--examples", type=_positive_int, default=16)
     parser.add_argument("--seed", type=int, default=4242)
     parser.add_argument("--max_new", type=int, default=128)
     args = parser.parse_args()

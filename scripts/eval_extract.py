@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--font_size", type=int, default=24)
     parser.add_argument("--lines", type=int, default=6)
     parser.add_argument("--max_new", type=int, default=256)
+    parser.add_argument(
+        "--data", choices=["words", "real"], default="words",
+        help="real: held-out real-language prose pages (corpus split never "
+        "seen in training) — the VERDICT r2 generalization eval",
+    )
     parser.add_argument("--json_out", default=None)
     args = parser.parse_args()
 
@@ -39,9 +44,21 @@ def main():
     from vision_compression_project_tpu.train.data import synthetic_page_text
 
     rng = np.random.default_rng(args.seed)
-    texts = [
-        synthetic_page_text(rng, lines=args.lines) for _ in range(args.pages)
-    ]
+    if args.data == "real":
+        from vision_compression_project_tpu.train.corpus import real_page_text
+
+        texts = [
+            real_page_text(
+                rng, lines=args.lines, font_size=args.font_size,
+                split="heldout",
+            )
+            for _ in range(args.pages)
+        ]
+    else:
+        texts = [
+            synthetic_page_text(rng, lines=args.lines)
+            for _ in range(args.pages)
+        ]
     tmp = Path(tempfile.mkdtemp(prefix="vcp_extract_eval_"))
     pdf = make_pdf(texts, tmp / "eval.pdf", font_size=args.font_size)
     with PdfDocument(pdf) as doc:
@@ -73,6 +90,10 @@ def main():
 
     result = {
         "pages": args.pages,
+        "data": args.data,
+        "render": {
+            "lines": args.lines, "font_size": args.font_size, "dpi": args.dpi
+        },
         "markdown_similarity_mean": round(float(np.mean(md_scores)), 4),
         "markdown_similarity_min": round(float(min(md_scores)), 4),
         "summary_similarity_mean": round(float(np.mean(sum_scores)), 4),

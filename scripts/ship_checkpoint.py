@@ -25,6 +25,11 @@ def main():
     parser.add_argument("--font_size", type=int, required=True)
     parser.add_argument("--dpi", type=int, required=True)
     parser.add_argument("--lines", type=int, required=True)
+    parser.add_argument(
+        "--data", default="words", choices=["words", "real"],
+        help="training text distribution (bench.py renders matching pages; "
+        "'real' makes the bench use held-out real-language prose)",
+    )
     parser.add_argument("--steps", type=int, default=0, help="trained steps (for meta)")
     parser.add_argument("--note", default="")
     args = parser.parse_args()
@@ -45,6 +50,7 @@ def main():
         "font_size": args.font_size,
         "dpi": args.dpi,
         "lines": args.lines,
+        "data": args.data,
         "trained_steps": args.steps,
         "note": args.note,
     }

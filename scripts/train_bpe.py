@@ -84,14 +84,49 @@ def build_corpus(n_pages: int = 3000, seed: int = 0) -> list:
     return texts
 
 
+def build_real_corpus(n_pages: int = 2000, seed: int = 0) -> list:
+    """Real-language corpus (train split only — heldout sentences never
+    influence the tokenizer) in the exact distribution the ocr_real model
+    is trained and served on: wrapped prose pages + their textmd
+    structurings + digit-code pages for the OCR digit path."""
+    from vision_compression_project_tpu.train.corpus import (
+        corpus_sentences,
+        real_page_text,
+    )
+
+    rng = np.random.default_rng(seed)
+    texts = list(corpus_sentences("train"))
+    for i in range(n_pages):
+        t = real_page_text(
+            rng,
+            lines=int(rng.integers(8, 32)),
+            font_size=int(rng.choice([12, 14, 16, 20, 32])),
+        )
+        texts.append(t)
+        rec = structure_page(t, i + 1)
+        texts.append(rec["markdown"])
+        texts.append(rec["summary"])
+        texts.extend(rec["entities"])
+    for _ in range(n_pages // 10):
+        texts.append(synthetic_code_page(rng))
+    return texts
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--vocab_size", type=int, default=4096)
     parser.add_argument("--pages", type=int, default=3000)
+    parser.add_argument(
+        "--corpus", choices=["mixed", "real"], default="mixed",
+        help="real: open-vocabulary prose corpus for the ocr_real preset",
+    )
     parser.add_argument("--out", default=str(DEFAULT_MERGES_PATH))
     args = parser.parse_args()
 
-    texts = build_corpus(args.pages)
+    if args.corpus == "real":
+        texts = build_real_corpus(args.pages)
+    else:
+        texts = build_corpus(args.pages)
     total_bytes = sum(len(t.encode("utf-8")) for t in texts)
     print(f"corpus: {len(texts)} texts, {total_bytes / 1e6:.2f} MB")
     tok = BPETokenizer.train(texts, vocab_size=args.vocab_size)

@@ -24,7 +24,9 @@ def main():
     parser.add_argument("--font_size", type=int, default=12)
     parser.add_argument("--lines", type=int, default=18)
     parser.add_argument(
-        "--data", choices=["words", "words_easy", "codes", "codes_easy"], default="words",
+        "--data",
+        choices=["words", "words_easy", "codes", "codes_easy", "real"],
+        default="words",
         help="codes: random digit pages — loss below ln(10)/digit proves OCR",
     )
     parser.add_argument("--code_groups", type=int, default=3)

@@ -101,7 +101,7 @@ SHIPPED_CHECKPOINT_ROOT = (
 
 # Resolution order for VCP_MODEL_PRESET=auto: prefer the largest preset a
 # shipped checkpoint exists for.
-_PRESET_PREFERENCE = ("prod", "base", "ocr_bpe", "ocr_demo", "tiny")
+_PRESET_PREFERENCE = ("prod", "base", "ocr_real", "ocr_bpe", "ocr_demo", "tiny")
 
 
 def shipped_checkpoint_dir(preset: str) -> Optional[str]:

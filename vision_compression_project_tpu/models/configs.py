@@ -146,11 +146,29 @@ _OCR_BPE = VLMConfig(
     decoder=dataclasses.replace(_OCR_DEMO.decoder, vocab=4096, tokenizer="bpe"),
 )
 
+# Real-document OCR (round 3): 1024px input so a 12pt glyph lands at
+# ~15.5px after the on-device resize (legible; 512px leaves it at 7.8px),
+# windowed stage over 4096 patches, 2x token downsample -> 1024 vision
+# tokens per page, and a decoder sized to transcribe ~30 wrapped lines of
+# open-vocabulary prose (text budget 1024 BPE tokens -> max_seq 2048).
+_OCR_REAL = VLMConfig(
+    vision=VisionConfig(
+        image_size=1024, patch=16, dim_local=192, dim_global=384,
+        depth_local=4, depth_global=4, heads_local=6, heads_global=6,
+        window=16, downsample=2,
+    ),
+    decoder=DecoderConfig(
+        vocab=4096, tokenizer="bpe:bpe_merges_real.json",
+        dim=384, depth=6, heads=6, kv_heads=2, head_dim=64, max_seq=2048,
+    ),
+)
+
 PRESETS = {
     "tiny": _TINY,
     "tiny_moe": _TINY_MOE,
     "ocr_demo": _OCR_DEMO,
     "ocr_bpe": _OCR_BPE,
+    "ocr_real": _OCR_REAL,
     "base": _BASE,
     "prod": _PROD,
 }

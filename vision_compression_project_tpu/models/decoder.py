@@ -78,8 +78,14 @@ class Decoder(nn.Module):
                 nn.initializers.normal(stddev=0.02), ("vocab", "embed")
             ),
         )
+        # nn.remat transforms only __call__ (the full-sequence training
+        # forward): backward recomputes per-block activations instead of
+        # storing them — at 2k-seq training the stored-activation footprint
+        # otherwise exceeds v5e HBM (batch 32 OOM'd at 24.8G/15.75G).
+        # prefill/decode (serving) are inherited untransformed.
+        RematBlock = nn.remat(DecoderBlock, prevent_cse=False)
         self.blocks = [
-            DecoderBlock(
+            RematBlock(
                 cfg,
                 use_moe=(
                     cfg.num_experts > 0 and i % max(cfg.expert_every, 1) == 0

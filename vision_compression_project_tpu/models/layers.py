@@ -196,7 +196,10 @@ class Attention(nn.Module):
             k = apply_rope(k, cos, sin)
         o = self._seq_parallel_attn(q, k, v, kv_len)
         if o is None:
-            if s >= 128 and s % 128 == 0 and self.head_dim % 8 == 0:
+            # The flash wrapper pads ragged lengths to its block size, so
+            # any long sequence stays on the Pallas kernel (a 2046-token
+            # fallback to materialized (S,S) XLA attention OOMs training).
+            if s >= 128 and self.head_dim % 8 == 0:
                 o = flash_attention(q, k, v, kv_len=kv_len, causal=self.causal)
             else:
                 o = mha_reference(q, k, v, kv_len=kv_len, causal=self.causal)
@@ -223,7 +226,7 @@ class Attention(nn.Module):
             cos, sin = self.rope_cos[:s], self.rope_sin[:s]
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        if s >= 128 and s % 128 == 0 and self.head_dim % 8 == 0:
+        if s >= 128 and self.head_dim % 8 == 0:
             o = flash_attention(q, k, v, kv_len=kv_len, causal=self.causal)
         else:
             o = mha_reference(q, k, v, kv_len=kv_len, causal=self.causal)

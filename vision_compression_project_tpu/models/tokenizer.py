@@ -297,7 +297,13 @@ def get_tokenizer(cfg=None, merges_path=None):
         )
     if kind == "byte":
         return ByteTokenizer()
-    if kind == "bpe":
+    if kind.startswith("bpe"):
+        # "bpe" loads the default merges; "bpe:<file>.json" loads a named
+        # merges file from the models/ directory, so presets trained on
+        # different corpora (e.g. real-language vs synthetic) can coexist
+        # without invalidating each other's shipped checkpoints.
+        if merges_path is None and ":" in kind:
+            merges_path = Path(__file__).parent / kind.split(":", 1)[1]
         tok = BPETokenizer.load(merges_path)
         want = getattr(getattr(cfg, "decoder", cfg), "vocab", tok.vocab_size)
         if tok.vocab_size != want:

@@ -73,6 +73,9 @@ class VisionEncoder(nn.Module):
         x = x + pos.astype(dt)[None]
 
         # Stage 1: windowed attention over (window x window) patch tiles.
+        # Remat: at 1024px input there are 4096 stage-1 tokens per page;
+        # recomputing block activations in backward keeps training in HBM.
+        Block = nn.remat(EncoderBlock, prevent_cse=False)
         win = min(cfg.window, grid)
         nw = grid // win
         for i in range(cfg.depth_local):
@@ -80,7 +83,7 @@ class VisionEncoder(nn.Module):
             xw = jnp.transpose(xw, (0, 1, 3, 2, 4, 5)).reshape(
                 b * nw * nw, win * win, cfg.dim_local
             )
-            xw = EncoderBlock(
+            xw = Block(
                 dim=cfg.dim_local, heads=cfg.heads_local, dtype=cfg.dtype,
                 name=f"local_{i}",
             )(xw)
@@ -103,7 +106,7 @@ class VisionEncoder(nn.Module):
 
         # Stage 2: global attention over the compressed token set.
         for i in range(cfg.depth_global):
-            x = EncoderBlock(
+            x = Block(
                 dim=cfg.dim_global, heads=cfg.heads_global, dtype=cfg.dtype,
                 name=f"global_{i}",
             )(x)

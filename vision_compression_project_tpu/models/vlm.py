@@ -463,10 +463,12 @@ class VLMRunner:
         # the model context for any top_k / max_chars_per_page request.
         # _start_generate buckets the prompt length UP to a multiple of 64,
         # so the allowance must be rounded DOWN to a bucket first.
+        # Reserve the FULL decode allowance: reserving only min(max_new, 256)
+        # let a large max_new push decode positions past max_seq, where the
+        # clamped dynamic_update_slice writes silently corrupt the KV cache
+        # (advisor r2).
         allowed_plen = (
-            (self.cfg.decoder.max_seq - vis.shape[1] - min(max_new, 256))
-            // 64
-            * 64
+            (self.cfg.decoder.max_seq - vis.shape[1] - max_new) // 64 * 64
         )
         budget = allowed_plen - len(head) - 1
         ev_ids = self.tok.encode(evidence_pack)[: max(0, budget)]

@@ -112,14 +112,28 @@ def flash_attention(
     assert h % hkv == 0, (h, hkv)
     if scale is None:
         scale = d ** -0.5
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
     if kv_len is None:
         kv_len = jnp.full((b,), sk, jnp.int32)
+    # Ragged sequence lengths: pad q/k/v up to the block size so the kernel
+    # grid tiles exactly; padded keys are masked via kv_len (which records
+    # the TRUE length) and padded query rows are sliced off the output.
+    # This keeps the Pallas kernel on every training shape (e.g. the
+    # 2046-token VLM forward) instead of falling back to materialized
+    # (S, S) XLA attention.
+    pq = (-sq) % block_q
+    pk = (-sk) % block_k
+    if pq or pk:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        kv_len = jnp.minimum(kv_len, sk)
+    block_q = min(block_q, q.shape[2])
+    block_k = min(block_k, k.shape[2])
     # float carrier so custom_vjp can emit a well-typed zero cotangent.
     kv_len_f = kv_len.astype(jnp.float32).reshape(b)
     core = _flash_core(causal, float(scale), block_q, block_k)
-    return core(q, k, v, kv_len_f)
+    out = core(q, k, v, kv_len_f)
+    return out[:, :, :sq] if pq else out
 
 
 @functools.lru_cache(maxsize=32)
@@ -137,30 +151,58 @@ def _flash_core(causal: bool, scale: float, block_q: int, block_k: int):
         return fwd_impl(q, k, v, kv_len_f), (q, k, v, kv_len_f)
 
     def core_bwd(residuals, g):
+        # Flash-style backward: recompute attention in q-chunks under a
+        # lax.scan, accumulating dk/dv — peak temp is (B, H, C, Sk), never
+        # the full (B, H, Sq, Sk) score matrix (which at 2k-seq training
+        # was a 3 GB f32 allocation per layer and OOM'd v5e HBM).
         q, k, v, kv_len_f = residuals
         b, h, sq, d = q.shape
+        sk = k.shape[2]
         hkv = k.shape[1]
         group = h // hkv
-        kr = jnp.repeat(k, group, axis=1).astype(jnp.float32)
-        vr = jnp.repeat(v, group, axis=1).astype(jnp.float32)
+        chunk = min(256, sq)
+        pq = (-sq) % chunk
         qf = q.astype(jnp.float32)
         gf = g.astype(jnp.float32)
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kr) * scale
-        k_idx = jnp.arange(k.shape[2])[None, None, None, :]
-        mask = k_idx < kv_len_f[:, None, None, None]
-        if causal:
-            q_idx = jnp.arange(sq)[None, None, :, None]
-            mask = jnp.logical_and(mask, k_idx <= q_idx)
-        s = jnp.where(mask, s, NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
-        dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vr)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kr) * scale
-        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+        if pq:
+            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, pq), (0, 0)))
+            gf = jnp.pad(gf, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        nc = qf.shape[2] // chunk
+        kr = jnp.repeat(k, group, axis=1).astype(jnp.float32)
+        vr = jnp.repeat(v, group, axis=1).astype(jnp.float32)
+        k_idx = jnp.arange(sk)[None, None, None, :]
+        kv_mask = k_idx < kv_len_f[:, None, None, None]
+
+        qc = qf.reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
+        gc = gf.reshape(b, h, nc, chunk, d).transpose(2, 0, 1, 3, 4)
+
+        def body(carry, inp):
+            dk_acc, dv_acc = carry
+            ci, q_i, g_i = inp  # (), (B,H,C,D), (B,H,C,D)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q_i, kr) * scale
+            mask = kv_mask
+            if causal:
+                q_pos = ci * chunk + jnp.arange(chunk)[None, None, :, None]
+                mask = jnp.logical_and(mask, k_idx <= q_pos)
+            s = jnp.where(mask, s, NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
+            dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, g_i)
+            dp = jnp.einsum("bhqd,bhkd->bhqk", g_i, vr)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq_i = jnp.einsum("bhqk,bhkd->bhqd", ds, kr) * scale
+            dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds, q_i) * scale
+            return (dk_acc, dv_acc), dq_i
+
+        zeros = jnp.zeros((b, h, sk, d), jnp.float32)
+        (dk, dv), dq_chunks = jax.lax.scan(
+            body, (zeros, zeros), (jnp.arange(nc), qc, gc)
+        )
+        dq = dq_chunks.transpose(1, 2, 0, 3, 4).reshape(b, h, nc * chunk, d)[
+            :, :, :sq
+        ]
         # GQA: fold query-head groups back onto their shared kv head.
-        dk = dk.reshape(b, hkv, group, *dk.shape[2:]).sum(axis=2)
-        dv = dv.reshape(b, hkv, group, *dv.shape[2:]).sum(axis=2)
+        dk = dk.reshape(b, hkv, group, sk, d).sum(axis=2)
+        dv = dv.reshape(b, hkv, group, sk, d).sum(axis=2)
         return (
             dq.astype(q.dtype),
             dk.astype(k.dtype),

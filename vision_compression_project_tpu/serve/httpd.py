@@ -36,6 +36,13 @@ from ..config import (
 from ..schemas import ChatRequest, ChatResponse, FailedPage, IngestResponse, RetrievedPage
 from .batching import BatchingQueue
 
+# Parsed once at import: a malformed value falls back instead of raising
+# ValueError on every single-text chat request (advisor r2).
+try:
+    _CHAT_EMBED_TIMEOUT_S = float(os.environ.get("VCP_CHAT_EMBED_TIMEOUT_S", "120"))
+except ValueError:
+    _CHAT_EMBED_TIMEOUT_S = 120.0
+
 logger = logging.getLogger(__name__)
 
 API_INFO = {
@@ -265,9 +272,12 @@ class _BatchedEmbedder:
             # Generous bound: this is a lost-worker guard, not a latency SLA
             # — a cold first query can legitimately sit behind a jit compile
             # on a loaded host (warmup covers the common case).
-            timeout = float(os.environ.get("VCP_CHAT_EMBED_TIMEOUT_S", "120"))
             return np.stack(
-                [self._state.chat_embed_batcher.submit(texts[0], timeout=timeout)]
+                [
+                    self._state.chat_embed_batcher.submit(
+                        texts[0], timeout=_CHAT_EMBED_TIMEOUT_S
+                    )
+                ]
             )
         return self._state.embedder.embed(texts)
 

@@ -28,7 +28,9 @@ def save_checkpoint(ckpt_dir, state: Any, step: Optional[int] = None) -> Path:
 
 
 def latest_checkpoint(ckpt_dir) -> Optional[Path]:
-    ckpt_dir = Path(ckpt_dir)
+    # .resolve(): orbax refuses relative paths at restore time, so every
+    # checkpoint-consuming CLI must be usable with `--ckpt_dir checkpoints/x`.
+    ckpt_dir = Path(ckpt_dir).resolve()
     if not ckpt_dir.exists():
         return None
     steps = sorted(p for p in ckpt_dir.glob("step_*") if p.is_dir())
@@ -58,7 +60,7 @@ def save_params(ckpt_dir, params, step: int = 0) -> Path:
 
 
 def latest_params(ckpt_dir) -> Optional[Path]:
-    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir = Path(ckpt_dir).resolve()
     if not ckpt_dir.exists():
         return None
     steps = sorted(p for p in ckpt_dir.glob("params_*") if p.is_dir())

@@ -1,0 +1,195 @@
+"""Real-language sentence corpus for VLM OCR training.
+
+Round-2 verdict: training on a 28-word closed vocabulary produced a model
+that cannot read arbitrary text (markdown similarity 0.017 at realistic
+renders).  This module harvests real English prose available offline —
+installed-package METADATA/README/rst documentation — into a deduplicated
+sentence pool with a deterministic train/heldout split, and generates
+document pages with realistic layout: width-aware word wrapping (pdfgen
+does not wrap; clipped words poison targets), titles, paragraph breaks and
+occasional bullets, so the textmd gold targets exercise headings and lists.
+
+The reference's golden document (/root/reference/output/combined.md) is
+deliberately EXCLUDED from the training pool: it is the held-out real-prose
+eval set (VERDICT r2 item 10), so eval numbers on it are uncontaminated.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import re
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+# pdfgen pages are US Letter (612x792pt) with 72pt margins; the C++ engine
+# renders non-embedded Type1 text with the built-in atlas at an advance of
+# 0.55*font_size (raster/cpp/pdf_engine.cc:1421).  0.62 leaves slack so no
+# wrapped line ever clips at the right edge.
+_PAGE_W, _PAGE_H, _MARGIN = 612, 792, 72
+_ADVANCE_FACTOR = 0.62
+_LEADING_FACTOR = 1.4
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_WORD_RE = re.compile(r"[A-Za-z]")
+
+_sentences_cache: dict = {}
+
+
+def chars_per_line(font_size: int) -> int:
+    usable = _PAGE_W - 2 * _MARGIN
+    return max(8, int(usable / (_ADVANCE_FACTOR * font_size)))
+
+
+def max_lines_for_font(font_size: int) -> int:
+    usable = _PAGE_H - 2 * _MARGIN
+    return max(1, int(usable / (_LEADING_FACTOR * font_size)))
+
+
+def _clean_line(line: str) -> str:
+    # Strip common rst/markdown markup so the pool is prose, not syntax.
+    line = re.sub(r"[`*_|=~^<>{}\[\]#]", " ", line)
+    line = re.sub(r"https?://\S+", " ", line)
+    line = line.encode("ascii", "replace").decode().replace("?", " ")
+    return " ".join(line.split())
+
+
+def _sentence_ok(s: str) -> bool:
+    if not (24 <= len(s) <= 220):
+        return False
+    words = s.split()
+    if len(words) < 4:
+        return False
+    alpha = sum(1 for c in s if c.isalpha() or c == " ")
+    if alpha / len(s) < 0.8:
+        return False
+    # Mostly word-like tokens (filters option tables, code fragments).
+    wordish = sum(1 for w in words if _WORD_RE.search(w))
+    return wordish / len(words) >= 0.8
+
+
+def _harvest(budget_bytes: int = 30_000_000) -> List[str]:
+    files: List[str] = []
+    site = "/opt/venv/lib/python3.12/site-packages"
+    files += glob.glob(f"{site}/*.dist-info/METADATA")
+    files += glob.glob(f"{site}/*/METADATA")
+    for ext in ("md", "rst", "txt"):
+        files += glob.glob(f"{site}/**/*.{ext}", recursive=True)
+    files = sorted(set(files))
+    seen = set()
+    out: List[str] = []
+    used = 0
+    for fp in files:
+        try:
+            body = Path(fp).read_text(encoding="utf-8", errors="ignore")[:300_000]
+        except OSError:
+            continue
+        used += len(body)
+        for para in re.split(r"\n\s*\n", body):
+            text = _clean_line(para.replace("\n", " "))
+            for sent in _SENT_SPLIT.split(text):
+                sent = sent.strip()
+                if not _sentence_ok(sent):
+                    continue
+                key = sent.lower()
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append(sent)
+        if used > budget_bytes:
+            break
+    if not out:  # pathological environment: fall back to repo docs
+        for fp in Path(__file__).resolve().parents[2].glob("*.md"):
+            for sent in _SENT_SPLIT.split(_clean_line(fp.read_text())):
+                if _sentence_ok(sent.strip()):
+                    out.append(sent.strip())
+    return out
+
+
+def corpus_sentences(split: str = "train") -> List[str]:
+    """Deterministic 95/5 train/heldout split by sentence content hash."""
+    if split not in _sentences_cache:
+        all_sents = _sentences_cache.get("_all")
+        if all_sents is None:
+            all_sents = _harvest()
+            _sentences_cache["_all"] = all_sents
+        train, heldout = [], []
+        for s in all_sents:
+            h = int(hashlib.md5(s.lower().encode()).hexdigest()[:8], 16)
+            (heldout if h % 20 == 0 else train).append(s)
+        _sentences_cache["train"] = train
+        _sentences_cache["heldout"] = heldout
+    return _sentences_cache[split]
+
+
+def _wrap(words: List[str], width: int) -> List[str]:
+    lines: List[str] = []
+    cur = ""
+    for w in words:
+        if len(w) > width:
+            w = w[:width]
+        if cur and len(cur) + 1 + len(w) > width:
+            lines.append(cur)
+            cur = w
+        else:
+            cur = (cur + " " + w).strip()
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+def real_page_text(
+    rng: np.random.Generator,
+    lines: int = 30,
+    font_size: int = 12,
+    split: str = "train",
+    min_words: int = 0,  # unused; signature-compatible with synthetic_page_text
+    max_words: int = 0,
+    title_words: int = 3,
+) -> str:
+    """A document page of real-language prose with realistic layout.
+
+    Consecutive corpus sentences are word-wrapped to the rendered column
+    width for `font_size`; a short title heads the page (blank line after it
+    half the time, which textmd structures as a markdown heading); sentence
+    runs occasionally restart as new paragraphs; some paragraphs render as
+    bullet lists.  The returned string is the exact text drawn on the page,
+    so `structure_page(text)` is the gold extraction target.
+    """
+    pool = corpus_sentences(split)
+    lines = min(lines, max_lines_for_font(font_size))
+    width = chars_per_line(font_size)
+    start = int(rng.integers(0, len(pool)))
+
+    title_src = pool[(start + 7919) % len(pool)].split()
+    n_t = min(len(title_src), int(title_words))
+    title = " ".join(w.capitalize() for w in title_src[:n_t])[: width][:60].rstrip(".")
+
+    out_lines: List[str] = []
+    idx = start
+    while len(out_lines) < lines:
+        budget = lines - len(out_lines)
+        is_bullets = budget >= 3 and rng.random() < 0.15
+        if is_bullets:
+            for _ in range(int(rng.integers(2, min(5, budget) + 1))):
+                s = pool[idx % len(pool)]
+                idx += 1
+                item = " ".join(s.split()[: max(3, width // 8)])
+                out_lines.append(("- " + item)[:width])
+                if len(out_lines) >= lines:
+                    break
+        else:
+            n_sent = int(rng.integers(1, 4))
+            words: List[str] = []
+            for _ in range(n_sent):
+                words += pool[idx % len(pool)].split()
+                idx += 1
+            out_lines.extend(_wrap(words, width)[:budget])
+        # paragraph break (a blank line costs one rendered line)
+        if len(out_lines) < lines - 1 and rng.random() < 0.35:
+            out_lines.append("")
+    body = "\n".join(out_lines[:lines])
+    sep = "\n\n" if rng.random() < 0.5 else "\n"
+    return title + sep + body

@@ -129,6 +129,13 @@ def synthetic_batches(
         gen = _ft.partial(
             synthetic_page_text, min_words=2, max_words=3, title_words=2
         )
+    elif kind == "real":
+        # Real-language prose (open vocabulary), width-wrapped for the
+        # render font — the round-3 curriculum that replaces the 28-word
+        # closed vocabulary (VERDICT r2 item 1).
+        from .corpus import real_page_text
+
+        gen = _ft.partial(real_page_text, font_size=font_size)
     else:
         gen = synthetic_page_text
     while True:
