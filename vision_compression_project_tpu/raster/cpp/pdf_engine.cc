@@ -32,6 +32,7 @@
 #include <thread>
 #include <vector>
 
+#include "cff.h"
 #include "font.h"
 #include "jpeg_decode.h"
 #include "truetype.h"
@@ -412,6 +413,8 @@ struct Font {
   // Embedded TrueType program (FontFile2), when present: real outlines.
   std::shared_ptr<std::string> ttf_bytes;
   std::shared_ptr<TtfFont> ttf;
+  // Embedded CFF program (FontFile3: Type1C / CIDFontType0C / OpenType).
+  std::shared_ptr<CffFont> cff;
   std::shared_ptr<std::vector<uint16_t>> cid_to_gid;  // null = identity
 };
 
@@ -710,6 +713,17 @@ class Document {
               font.ttf_bytes = bytes;  // ttf keeps pointers into these bytes
               font.ttf = ttf;
             }
+          }
+        }
+        // FontFile3: bare CFF (Type1C, CIDFontType0C) or OTTO-wrapped CFF
+        // (/Subtype /OpenType) — the dominant embedded format of LaTeX /
+        // academic PDFs (VERDICT r2 item 3).
+        ObjPtr ff3 = resolve(get(fd, "FontFile3"));
+        if (!font.ttf && ff3->is(Obj::kStream)) {
+          std::string bytes = decode_stream(ff3);
+          if (!bytes.empty()) {
+            auto cff = std::make_shared<CffFont>();
+            if (cff->parse(bytes) && cff->ok()) font.cff = cff;
           }
         }
       }
@@ -1330,6 +1344,43 @@ static int code_to_gid(const Font& font, uint32_t code,
   return gid;
 }
 
+// First UTF-8 codepoint of a string (0 if empty/invalid).
+static uint32_t first_codepoint(const std::string& uni) {
+  if (uni.empty()) return 0;
+  unsigned char c0 = uni[0];
+  if (c0 < 0x80) return c0;
+  if ((c0 >> 5) == 6 && uni.size() >= 2)
+    return ((c0 & 31) << 6) | (uni[1] & 63);
+  if ((c0 >> 4) == 14 && uni.size() >= 3)
+    return ((c0 & 15) << 12) | ((uni[1] & 63) << 6) | (uni[2] & 63);
+  return 0;
+}
+
+// CID/char code -> CFF glyph id for an embedded FontFile3 program.
+static int code_to_gid_cff(const Font& font, uint32_t code,
+                           const std::string& uni) {
+  const CffFont& cff = *font.cff;
+  if (font.two_byte) {
+    // CIDFontType0: the code is a CID (Identity CMap, matching the Type0
+    // text decoding above); CID-keyed CFF maps CID -> gid via charset.
+    uint32_t cid = code;
+    if (font.cid_to_gid && cid < font.cid_to_gid->size())
+      cid = (*font.cid_to_gid)[cid];
+    if (cff.is_cid()) return cff.glyph_for_cid(cid);
+    return cid < static_cast<uint32_t>(cff.num_glyphs())
+               ? static_cast<int>(cid)
+               : 0;
+  }
+  // Simple font: built-in CFF encoding first, then unicode via glyph names.
+  int gid = cff.glyph_for_code(code);
+  if (!gid) {
+    uint32_t cp = first_codepoint(uni);
+    if (cp == 0) cp = code;
+    gid = cff.glyph_for_codepoint(cp);
+  }
+  return gid;
+}
+
 static void render_page(const PageData& page, double dpi, unsigned char* out,
                         int W, int H) {
   memset(out, 0xff, static_cast<long>(W) * H * 3);
@@ -1396,6 +1447,27 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
     double x = run.x * s;
     double y = (page.height_pts - run.y) * s;
     double size_px = run.size * s;
+    if (run.font && run.font->cff && run.font->cff->ok() &&
+        run.codes.size() == run.offsets.size()) {
+      // Real outlines from the embedded CFF (Type2 charstring) program.
+      const CffFont& cff = *run.font->cff;
+      double scale = size_px / cff.units_per_em();
+      size_t ui = 0;
+      for (size_t i = 0; i < run.codes.size(); i++) {
+        std::string uni;
+        if (ui < run.text.size()) {
+          unsigned char c0 = run.text[ui];
+          size_t clen = c0 < 0x80 ? 1 : (c0 >> 5) == 6 ? 2
+                        : (c0 >> 4) == 14 ? 3 : 4;
+          uni = run.text.substr(ui, clen);
+          ui += clen;
+        }
+        int gid = code_to_gid_cff(*run.font, run.codes[i], uni);
+        if (gid > 0 || (gid == 0 && run.codes[i] != 32))
+          cff.rasterize(gid, scale, x + run.offsets[i] * s, y, out, W, H, 0);
+      }
+      continue;
+    }
     if (run.font && run.font->ttf && run.font->ttf->ok() &&
         run.codes.size() == run.offsets.size()) {
       // Real outlines from the embedded TrueType program, positioned by
@@ -1586,7 +1658,7 @@ int vcpr_page_complexity(void* handle, int page) {
   int flags = 0;
   if (!pd.images.empty()) flags |= 1;
   for (auto& [name, f] : pd.fonts)
-    if (f.ttf && f.ttf->ok()) flags |= 2;
+    if ((f.ttf && f.ttf->ok()) || (f.cff && f.cff->ok())) flags |= 2;
   return flags;
 }
 
