@@ -39,12 +39,18 @@ def main():
         "--init_from", default=None,
         help="checkpoint dir to warm-start params from (curriculum transfer)",
     )
+    parser.add_argument(
+        "--pp_microbatches", type=int, default=0,
+        help="if > 0, pipeline the decoder blocks over the mesh `model` axis"
+        " (GPipe) with this many microbatches per step; needs a uniform"
+        " decoder (dense or expert_every=1) and batch %% microbatches == 0",
+    )
     args = parser.parse_args()
 
     import jax
 
     from vision_compression_project_tpu.models import get_preset
-    from vision_compression_project_tpu.parallel import build_mesh
+    from vision_compression_project_tpu.parallel import local_mesh
     from vision_compression_project_tpu.train import save_checkpoint
     from vision_compression_project_tpu.train.data import (
         device_batch,
@@ -57,7 +63,7 @@ def main():
     )
 
     cfg = get_preset(args.preset)
-    mesh = build_mesh()
+    mesh = local_mesh()  # honors VCP_MESH_* (e.g. VCP_MESH_MODEL for PP/TP)
     print(f"mesh: {dict(mesh.shape)} devices={len(jax.devices())}")
     model, tx, state, shardings = make_train_state(cfg, mesh, lr=args.lr)
     if args.init_from:
@@ -70,7 +76,22 @@ def main():
             step=state.step,
         )
         print(f"warm-started params from {args.init_from}")
-    step_fn, batch_shardings = make_jitted_train_step(model, tx, mesh, shardings)
+    if args.pp_microbatches > 0:
+        from vision_compression_project_tpu.train.pp_train import (
+            make_pp_vlm_train_step,
+        )
+
+        if args.batch % args.pp_microbatches:
+            parser.error("--batch must be divisible by --pp_microbatches")
+        step_fn, batch_shardings = make_pp_vlm_train_step(
+            cfg, tx, mesh, n_micro=args.pp_microbatches
+        )
+        print(f"PP training: {args.pp_microbatches} microbatches over "
+              f"{mesh.shape['model']} pipeline stage(s)")
+    else:
+        step_fn, batch_shardings = make_jitted_train_step(
+            model, tx, mesh, shardings
+        )
 
     data = prefetch_batches(
         synthetic_batches(

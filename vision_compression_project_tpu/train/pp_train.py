@@ -13,14 +13,25 @@ one jit.
 
 MoE stages: supported when the decoder is uniformly MoE (expert_every == 1,
 every block has the same param structure, required by the stage stacking in
-pp_forward.stack_block_params).  Two documented narrowings vs the TP path:
-the Switch load-balancing auxiliary is dropped (flax `sow` inside the
-pipeline's immutable apply is a no-op, and microbatch-local aux terms would
-double-count across fill/drain garbage steps), and expert weights ride the
-pipeline-stage shard rather than the expert axis (stage-local experts; an
-EP x PP factorization is a scale-out follow-up).  Mixed dense/MoE decoders
-(expert_every > 1) keep the TP train path (train/train_step.py) — stacking
-heterogeneous block pytrees is not expressible as one stage axis.
+pp_forward.stack_block_params).  The Switch load-balancing auxiliary is
+RESTORED in the pipeline (round-3): flax `sow` is a no-op under the
+pipeline's immutable apply, so the stage runner re-applies each block with
+mutable=["losses"] and gpipe accumulates the captured scalar only on valid
+(non-fill/drain) steps — see pp_forward.pipelined_decoder_hidden(with_aux=
+True) and parallel/pipeline.py::gpipe.  One remaining narrowing vs the TP
+path: expert weights ride the pipeline-stage shard rather than the expert
+axis (stage-local experts; an EP x PP factorization is a scale-out
+follow-up).  Mixed dense/MoE decoders (expert_every > 1) keep the TP train
+path (train/train_step.py) — stacking heterogeneous block pytrees is not
+expressible as one stage axis.
+
+The VLM variants (pp_vlm_loss / make_pp_vlm_train_step) cover the FULL
+flagship training step: vision encoder + projection run outside the
+pipeline region (they are shallow and XLA-partitioned over data/model like
+any jit op), the concatenated [vision ; text] sequence streams through the
+GPipe decoder, and the loss masks targets exactly like the TP path
+(train_step.py::vlm_loss) including the answer-span loss_mask.  Exposed on
+the CLI via scripts/train_vlm.py --pp_microbatches.
 
 Reference: the reference trains nothing (models were cloud APIs;
 reference backend/app/config.py:44-54) — this subsystem exists so the
@@ -34,12 +45,15 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.configs import DecoderConfig
+from ..models.configs import DecoderConfig, VLMConfig
 from ..models.decoder import Decoder
 from ..models.tokenizer import PAD_ID
+from ..models.vlm import OpticalVLM
+from ..parallel.mesh import AXIS_DATA
 from .pp_forward import pipelined_decoder_hidden
-from .train_step import TrainState, make_optimizer
+from .train_step import MOE_AUX_WEIGHT, TrainState, make_optimizer
 
 
 def _supports_pp(cfg: DecoderConfig) -> bool:
@@ -116,3 +130,94 @@ def make_pp_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     return tx, jax.jit(step)
+
+
+def pp_vlm_loss(
+    cfg: VLMConfig,
+    params: Dict,
+    batch: Dict,
+    mesh,
+    n_micro: int = 4,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """vlm_loss (train_step.py:56) with the decoder blocks run as a GPipe
+    pipeline: next-token CE over the text segment of [vision ; text], plus
+    the Switch aux when the decoder is uniformly MoE.
+
+    batch: {patch_tokens (B,N,pd), token_ids (B,T+1), loss_mask? (B,T+1)}.
+    B must divide by n_micro.  Vision encoder / projection / embedding /
+    unembedding stay outside the pipeline region (shallow, XLA-partitioned
+    over the remaining mesh axes)."""
+    dcfg = cfg.decoder
+    assert _supports_pp(dcfg), "PP needs a uniform decoder (dense or expert_every=1)"
+    model = OpticalVLM(cfg)
+    ids_in = batch["token_ids"][:, :-1]
+    targets = batch["token_ids"][:, 1:]
+    vis = model.apply(
+        {"params": params}, batch["patch_tokens"], method=OpticalVLM.encode_pages
+    )
+    txt = model.apply(
+        {"params": params}, ids_in, method=lambda m, i: m.decoder.embed_tokens(i)
+    )
+    x = jnp.concatenate([vis, txt.astype(vis.dtype)], axis=1)
+    b, s, d = x.shape
+    assert b % n_micro == 0, (b, n_micro)
+    use_moe = dcfg.num_experts > 0 and dcfg.expert_every == 1
+    res = pipelined_decoder_hidden(
+        dcfg,
+        params["decoder"],
+        x.reshape(n_micro, b // n_micro, s, d),
+        mesh,
+        axis_name=axis_name,
+        use_moe=use_moe,
+        with_aux=use_moe,
+    )
+    hidden, aux = res if use_moe else (res, None)
+    logits = model.apply(
+        {"params": params},
+        hidden.reshape(b, s, d),
+        method=lambda m, h: m.decoder.hidden_to_logits(h),
+    )
+    vis_len = vis.shape[1]
+    text_logits = logits[:, vis_len:]
+    mask = (targets != PAD_ID).astype(jnp.float32)
+    if "loss_mask" in batch:
+        mask = mask * batch["loss_mask"][:, 1:].astype(jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        text_logits.astype(jnp.float32), targets
+    )
+    loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    if aux is not None:
+        loss = loss + MOE_AUX_WEIGHT * aux
+    return loss
+
+
+def make_pp_vlm_train_step(
+    cfg: VLMConfig,
+    tx,
+    mesh,
+    n_micro: int = 4,
+    axis_name: str = "model",
+):
+    """Returns (jitted step, batch_shardings) mirroring
+    train_step.make_jitted_train_step but with the decoder pipelined.
+
+    Reuses the caller's optimizer/state (make_train_state), so curriculum
+    warm-starts and checkpointing work identically in either mode."""
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(
+            lambda p: pp_vlm_loss(
+                cfg, p, batch, mesh, n_micro=n_micro, axis_name=axis_name
+            )
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    batch_shardings = {
+        "patch_tokens": NamedSharding(mesh, P(AXIS_DATA, None, None)),
+        "token_ids": NamedSharding(mesh, P(AXIS_DATA, None)),
+        "loss_mask": NamedSharding(mesh, P(AXIS_DATA, None)),
+    }
+    return jax.jit(step, donate_argnums=(0,)), batch_shardings
