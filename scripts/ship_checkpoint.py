@@ -31,6 +31,12 @@ def main():
         "'real' makes the bench use held-out real-language prose)",
     )
     parser.add_argument("--steps", type=int, default=0, help="trained steps (for meta)")
+    parser.add_argument(
+        "--tasks", default="extract",
+        help="comma-separated tasks the checkpoint was trained for "
+        "('extract', 'answer'); 'answer' makes the QA engine 'auto' "
+        "resolve to generation (pipeline/qa.py::lm_answer_available)",
+    )
     parser.add_argument("--note", default="")
     args = parser.parse_args()
 
@@ -51,6 +57,7 @@ def main():
         "dpi": args.dpi,
         "lines": args.lines,
         "data": args.data,
+        "tasks": [t.strip() for t in args.tasks.split(",") if t.strip()],
         "trained_steps": args.steps,
         "note": args.note,
     }

@@ -28,6 +28,12 @@ def main():
         "--answer_every", type=int, default=2,
         help="every Nth step trains the answer task (others: extraction)",
     )
+    parser.add_argument(
+        "--agg_frac", type=float, default=0.0,
+        help="fraction of answer examples from the cross-page AGGREGATION "
+        "generator (counts/totals/superlatives the extractive engine "
+        "cannot produce; train/data.py::_synthetic_agg_qa_example)",
+    )
     parser.add_argument("--init_from", default=None)
     parser.add_argument("--ckpt_dir", default="checkpoints/vlm_qa")
     parser.add_argument("--ckpt_every", type=int, default=500)
@@ -38,7 +44,7 @@ def main():
     import jax
 
     from vision_compression_project_tpu.models import get_preset
-    from vision_compression_project_tpu.parallel import build_mesh
+    from vision_compression_project_tpu.parallel import local_mesh
     from vision_compression_project_tpu.train import save_checkpoint
     from vision_compression_project_tpu.train.data import (
         device_batch,
@@ -52,7 +58,7 @@ def main():
     )
 
     cfg = get_preset(args.preset)
-    mesh = build_mesh()
+    mesh = local_mesh()  # honors VCP_MESH_*
     print(f"mesh: {dict(mesh.shape)} devices={len(jax.devices())}")
     model, tx, state, shardings = make_train_state(cfg, mesh, lr=args.lr)
     if args.init_from:
@@ -74,7 +80,10 @@ def main():
         )
     )
     answer_data = prefetch_batches(
-        qa_batches(cfg, args.batch, text_len=args.text_len, seed=args.seed + 7)
+        qa_batches(
+            cfg, args.batch, text_len=args.text_len, seed=args.seed + 7,
+            agg_frac=args.agg_frac,
+        )
     )
     t_start = time.time()
     ex_loss = ans_loss = float("nan")

@@ -10,6 +10,12 @@ import os
 # exercise mesh/pjit code on 8 virtual host devices (override with
 # VCP_TEST_PLATFORM=tpu to run against real hardware).
 os.environ["JAX_PLATFORMS"] = os.environ.get("VCP_TEST_PLATFORM", "cpu")
+
+# Deterministic answers in tests: production 'auto' resolves to the trained
+# LM when the shipped checkpoint declares answer training (pipeline/qa.py::
+# lm_answer_available — unit-tested directly); the suite pins extractive so
+# artifact-format and citation assertions don't ride model output.
+os.environ.setdefault("VCP_ANSWER_ENGINE", "extractive")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

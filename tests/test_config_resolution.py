@@ -18,7 +18,7 @@ def _fake_root(tmp_path, monkeypatch, presets=("ocr_bpe",)):
     root = tmp_path / "default"
     for p in presets:
         d = root / p / "params_00000042"
-        d.mkdir(parents=True)
+        d.mkdir(parents=True, exist_ok=True)
         (d / "x").write_text("w")
         (root / p / "meta.json").write_text(
             json.dumps({"preset": p, "font_size": 24, "dpi": 46, "lines": 6})
@@ -54,3 +54,60 @@ def test_preference_order(tmp_path, monkeypatch):
     _fake_root(tmp_path, monkeypatch, presets=("ocr_bpe", "base"))
     _set_runtime(monkeypatch, model_preset="auto", checkpoint_dir=None)
     assert config.resolve_model_preset() == "base"
+
+
+# -- engine 'auto' -> 'lm' flip (VERDICT r2 item 4) --------------------------
+
+
+def _meta_with_tasks(tmp_path, monkeypatch, tasks):
+    root = _fake_root(tmp_path, monkeypatch)
+    meta_file = root / "ocr_bpe" / "meta.json"
+    meta = json.loads(meta_file.read_text())
+    if tasks is not None:
+        meta["tasks"] = tasks
+    meta_file.write_text(json.dumps(meta))
+    return root
+
+
+def test_auto_engine_flips_to_lm_when_answer_trained(tmp_path, monkeypatch):
+    from vision_compression_project_tpu.pipeline.qa import lm_answer_available
+
+    _meta_with_tasks(tmp_path, monkeypatch, ["extract", "answer"])
+    _set_runtime(monkeypatch, model_preset="auto", checkpoint_dir=None)
+    assert lm_answer_available() is True
+
+
+def test_auto_engine_extractive_without_answer_training(tmp_path, monkeypatch):
+    from vision_compression_project_tpu.pipeline.qa import lm_answer_available
+
+    _meta_with_tasks(tmp_path, monkeypatch, ["extract"])
+    _set_runtime(monkeypatch, model_preset="auto", checkpoint_dir=None)
+    assert lm_answer_available() is False
+    # No tasks declared at all -> conservative extractive.
+    _meta_with_tasks(tmp_path, monkeypatch, None)
+    assert lm_answer_available() is False
+
+
+def test_auto_engine_extractive_without_checkpoint(tmp_path, monkeypatch):
+    from vision_compression_project_tpu.pipeline.qa import lm_answer_available
+
+    monkeypatch.setattr(config, "SHIPPED_CHECKPOINT_ROOT", tmp_path / "none")
+    _set_runtime(monkeypatch, model_preset="auto", checkpoint_dir=None)
+    assert lm_answer_available() is False
+
+
+def test_auto_engine_explicit_ckpt_reads_its_meta(tmp_path, monkeypatch):
+    from vision_compression_project_tpu.pipeline.qa import lm_answer_available
+
+    ckpt = tmp_path / "run"
+    (ckpt / "params_00000001").mkdir(parents=True)
+    _set_runtime(monkeypatch, model_preset="ocr_bpe", checkpoint_dir=str(ckpt))
+    assert lm_answer_available() is False  # no meta.json -> conservative
+    (ckpt / "meta.json").write_text(json.dumps({"tasks": ["answer"]}))
+    assert lm_answer_available() is True
+
+    # The shipped ocr_bpe checkpoint in this repo declares answer training,
+    # so a fresh clone's /chat default actually generates.
+    _set_runtime(monkeypatch, model_preset="auto", checkpoint_dir=None)
+    if config.shipped_checkpoint_dir("ocr_bpe"):
+        assert "answer" in config.shipped_meta("ocr_bpe").get("tasks", ())

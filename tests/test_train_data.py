@@ -102,3 +102,47 @@ def test_prefetch_batches_matches_and_propagates_errors():
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "boom" in str(e)
+
+
+def test_agg_qa_example_facts_and_format():
+    """Aggregation QA (VERDICT r2 item 4): the answer states a cross-page
+    aggregate that appears in NO evidence sentence (so the extractive
+    engine cannot produce it), with every supporting page cited."""
+    import re
+
+    from vision_compression_project_tpu.train.data import (
+        _synthetic_agg_qa_example,
+    )
+
+    rng = np.random.default_rng(7)
+    seen = set()
+    for _ in range(40):
+        q, ev, ans, facts = _synthetic_agg_qa_example(rng)
+        seen.add(facts["kind"])
+        assert ans.startswith("Based on the retrieved pages (doc p.")
+        assert re.search(rf"\b{facts['value']}\b", ans)
+        for p in facts["cited"]:
+            assert f"p.{p}" in ans
+        claim = ans.split("- ", 1)[1].rsplit(" (", 1)[0]
+        assert claim not in ev  # the aggregate is nowhere in the evidence
+        if facts["kind"] == "count":
+            # ground truth really is the number of mentioning pages
+            n_mention = sum(
+                "module is covered" in s for s in ev.split("\n\n---\n\n")
+            )
+            assert facts["value"] == len(facts["cited"]) <= n_mention
+        if facts["kind"] == "max":
+            assert facts["name"] in ans.lower()
+    assert seen == {"count", "sum", "max"}
+
+
+def test_qa_batches_agg_frac_mixes_examples():
+    from vision_compression_project_tpu.train.data import qa_batches
+
+    cfg = get_preset("tiny")
+    batch = next(iter(qa_batches(cfg, 4, text_len=256, seed=0, agg_frac=1.0)))
+    assert batch["token_ids"].shape == (4, 256)
+    assert batch["loss_mask"].sum() > 0
+    # answer span is supervised, prompt is not
+    first_supervised = int(np.argmax(batch["loss_mask"][0] > 0))
+    assert first_supervised > 10

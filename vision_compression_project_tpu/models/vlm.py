@@ -41,6 +41,13 @@ from .vit import VisionEncoder
 
 UNIT_SEP = 0x1F  # byte separating entity list items inside the entities field
 
+# Evidence-vs-decode split for answer(): trained answers (train/data.py::
+# qa_batches) fit in ~256 tokens and end with EOS, so evidence packing
+# reserves this much; a larger requested max_new then extends the decode
+# BOUND into whatever context remains after the real prompt (EOS exits
+# early), instead of starving the evidence.
+ANSWER_DECODE_RESERVE = 256
+
 
 _MASK_CACHE: Dict[Tuple[str, str], np.ndarray] = {}
 
@@ -456,26 +463,32 @@ class VLMRunner:
     ) -> str:
         max_new = max_new or self.max_new_default
         vis = self._blank_vision()
+        vis_len = vis.shape[1]
+        max_seq = self.cfg.decoder.max_seq
         head = [BOS_ID, TASK_ANSWER_ID] + self.tok.encode(question) + [SEP_ID]
         # Evidence budget: whole context minus vision prefix, question head,
-        # trailing SEP and the decode allowance — mirrors the training-side
+        # trailing SEP and a decode reserve — mirrors the training-side
         # truncation (train/data.py::qa_batches) and keeps prefill inside
         # the model context for any top_k / max_chars_per_page request.
         # _start_generate buckets the prompt length UP to a multiple of 64,
         # so the allowance must be rounded DOWN to a bucket first.
-        # Reserve the FULL decode allowance: reserving only min(max_new, 256)
-        # let a large max_new push decode positions past max_seq, where the
-        # clamped dynamic_update_slice writes silently corrupt the KV cache
-        # (advisor r2).
-        allowed_plen = (
-            (self.cfg.decoder.max_seq - vis.shape[1] - max_new) // 64 * 64
-        )
+        # The reserve is min(max_new, trained span allowance): a reference-
+        # scale request (8192, reference backend/app/config.py:28) must not
+        # starve the evidence — trained answers EOS within ~256 tokens, so
+        # evidence is sized against that, and the DECODE bound below then
+        # takes every context position actually left after the real prompt
+        # (never past max_seq, so the KV cache cannot be corrupted;
+        # advisor r2).
+        reserve = min(max_new, ANSWER_DECODE_RESERVE)
+        allowed_plen = (max_seq - vis_len - reserve) // 64 * 64
         budget = allowed_plen - len(head) - 1
         ev_ids = self.tok.encode(evidence_pack)[: max(0, budget)]
         # Trailing SEP conditions generation past the evidence span, exactly
         # where training supervision begins.
         prompt = head + ev_ids + [SEP_ID]
-        seq = self._run_generate([prompt], vis, max_new, task="answer")[0]
+        plen_bucketed = -(-len(prompt) // 64) * 64
+        effective_new = min(max_new, max_seq - vis_len - plen_bucketed)
+        seq = self._run_generate([prompt], vis, effective_new, task="answer")[0]
         # decode() skips ids with no byte expansion (specials), so BPE merge
         # tokens pass through correctly.
         return self.tok.decode(seq)

@@ -13,9 +13,12 @@ excerpts (qa.py:283-296).
 Retrieval is one masked-matmul top-k on device (no HTTPS, no over-fetch).
 Answering has two engines: 'extractive' (deterministic — evidence sentences
 ranked by embedding similarity, composed into cited markdown; exact
-citations by construction) and 'lm' (the on-mesh decoder, for trained
-checkpoints).  'auto' currently selects extractive: an untrained LM cannot
-answer, and extractive answers are correct and cited by construction.
+citations by construction) and 'lm' (the on-mesh decoder).  'auto' resolves
+to 'lm' when the serving checkpoint declares answer-task training in its
+meta (scripts/ship_checkpoint.py --tasks) — generation is the default the
+reference had (qa.py:189-217, an 8192-token Gemini pass) — and falls back
+to 'extractive' otherwise (an untrained LM cannot answer; extractive
+answers are correct and cited by construction).
 """
 
 from __future__ import annotations
@@ -50,6 +53,29 @@ def _get_embedder():
     from .ingest import _get_embedder as impl
 
     return impl()
+
+
+def lm_answer_available() -> bool:
+    """True when the checkpoint the serving runner will load declares
+    answer-task training — the condition under which engine 'auto' selects
+    generation over extraction.  A checkpoint declares it via the 'tasks'
+    list in its meta.json (written by scripts/ship_checkpoint.py for shipped
+    weights; an explicit VCP_CHECKPOINT_DIR may carry its own meta.json)."""
+    from .. import config  # late lookups: tests swap RUNTIME/roots
+
+    preset = config.resolve_model_preset()
+    ckpt = config.resolve_checkpoint_dir(preset)
+    if not ckpt:
+        return False
+    if config.RUNTIME.checkpoint_dir:
+        try:
+            meta = json.loads(
+                (Path(config.RUNTIME.checkpoint_dir) / "meta.json").read_text()
+            )
+        except (OSError, ValueError):
+            return False
+        return "answer" in meta.get("tasks", ())
+    return "answer" in config.shipped_meta(preset).get("tasks", ())
 
 
 def _extract_result_info(result, manifest: Optional[Dict]):
@@ -210,7 +236,7 @@ def answer_question(
         store = get_default_store(dim=embedder.dim)
     engine = engine or RUNTIME.answer_engine
     if engine == "auto":
-        engine = "extractive"
+        engine = "lm" if lm_answer_available() else "extractive"
 
     manifest = None
     if manifest_path and Path(manifest_path).exists():

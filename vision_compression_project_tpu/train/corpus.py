@@ -108,8 +108,44 @@ def _harvest(budget_bytes: int = 30_000_000) -> List[str]:
     return out
 
 
+GOLDEN_MD_ENV = "VCP_GOLDEN_MD"
+_DEFAULT_GOLDEN_MD = "/root/reference/output/combined.md"
+
+
+def golden_sentences() -> List[str]:
+    """Sentences from the reference's golden document (combined.md of the
+    real 22-page PDF its pipeline extracted) — NEVER in the training pool
+    (see module docstring), so eval numbers on it are uncontaminated real
+    prose (VERDICT r2 item 10).  Override the path with VCP_GOLDEN_MD."""
+    import os
+
+    path = Path(os.environ.get(GOLDEN_MD_ENV, _DEFAULT_GOLDEN_MD))
+    if not path.exists():
+        raise FileNotFoundError(
+            f"golden document not found at {path}; set {GOLDEN_MD_ENV}"
+        )
+    seen, out = set(), []
+    for para in re.split(r"\n\s*\n", path.read_text(errors="ignore")):
+        text = _clean_line(para.replace("\n", " "))
+        for sent in _SENT_SPLIT.split(text):
+            sent = sent.strip()
+            if not _sentence_ok(sent):
+                continue
+            key = sent.lower()
+            if key not in seen:
+                seen.add(key)
+                out.append(sent)
+    return out
+
+
 def corpus_sentences(split: str = "train") -> List[str]:
-    """Deterministic 95/5 train/heldout split by sentence content hash."""
+    """Deterministic 95/5 train/heldout split by sentence content hash;
+    split='golden' draws from the reference's golden document instead
+    (golden_sentences)."""
+    if split == "golden":
+        if "golden" not in _sentences_cache:
+            _sentences_cache["golden"] = golden_sentences()
+        return _sentences_cache["golden"]
     if split not in _sentences_cache:
         all_sents = _sentences_cache.get("_all")
         if all_sents is None:

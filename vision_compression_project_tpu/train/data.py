@@ -262,11 +262,103 @@ def _synthetic_qa_example(rng: np.random.Generator, doc_id: str = "doc"):
     return question, evidence_pack, answer_md
 
 
+_AGG_SUBJECTS = ("region", "team", "sensor", "cluster", "plant")
+_AGG_NAMES = (
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "sigma",
+)
+_AGG_ITEMS = ("units", "samples", "reports", "devices", "queries", "errors")
+
+
+def _synthetic_agg_qa_example(rng: np.random.Generator, doc_id: str = "doc"):
+    """One AGGREGATION QA example: (question, evidence_pack, answer_md,
+    facts).  The answer is a count / total / superlative over facts spread
+    across pages — a statement that appears in NO evidence sentence, so the
+    extractive engine (which can only quote sentences) cannot produce it;
+    this is what generative synthesis adds over extraction (the reference
+    got it from the Gemini pass, reference backend/app/pipeline/qa.py:
+    189-217).  `facts` carries the programmatic ground truth
+    (scripts/eval_answer.py --task agg scores key-fact accuracy with it)."""
+    kind = str(rng.choice(["count", "sum", "max"]))
+    n_pages = int(rng.integers(3, 6))
+    subject = str(rng.choice(_AGG_SUBJECTS))
+    item = str(rng.choice(_AGG_ITEMS))
+    names = list(rng.choice(_AGG_NAMES, size=n_pages, replace=False))
+    values = rng.integers(2, 98, size=n_pages)
+    if kind == "max":
+        # Unique maximum, or "which produced the most" has no single answer.
+        j = int(rng.integers(0, n_pages))
+        values[j] = int(values.max()) + int(rng.integers(1, 10))
+    topic = str(rng.choice(_WORDS))
+    mention = rng.random(n_pages) < 0.5
+    if kind == "count":
+        while not 0 < mention.sum():  # at least one page must mention it
+            mention = rng.random(n_pages) < 0.5
+
+    pages = []
+    for i in range(n_pages):
+        sents = [
+            f"{subject.capitalize()} {names[i]} produced "
+            f"{int(values[i])} {item}."
+        ]
+        if mention[i]:
+            sents.append(f"The {topic} module is covered in this section.")
+        n_fill = int(rng.integers(1, 3))
+        for _ in range(n_fill):
+            n = int(rng.integers(5, 9))
+            sents.append(
+                (" ".join(rng.choice(_WORDS, size=n)) + ".").capitalize()
+            )
+        rng.shuffle(sents)
+        pages.append(" ".join(sents))
+
+    page_numbers = list(range(1, n_pages + 1))
+    parts = [
+        f"[Page {p} | memory_id=m{p:02d}]\n{text}"
+        for p, text in zip(page_numbers, pages)
+    ]
+    evidence_pack = "\n\n---\n\n".join(parts)
+
+    if kind == "count":
+        cited = [p for p, m in zip(page_numbers, mention) if m]
+        question = f"How many pages mention the {topic} module?"
+        claim = (
+            f"{len(cited)} of the {n_pages} pages mention the {topic} module"
+        )
+        facts = {"kind": kind, "value": len(cited), "cited": cited}
+    elif kind == "sum":
+        cited = page_numbers
+        total = int(values.sum())
+        question = (
+            f"How many {item} were produced in total across all {subject}s?"
+        )
+        claim = f"The {subject}s produced {total} {item} in total"
+        facts = {"kind": kind, "value": total, "cited": cited}
+    else:  # max
+        j = int(np.argmax(values))
+        cited = [page_numbers[j]]
+        question = f"Which {subject} produced the most {item}?"
+        claim = (
+            f"{subject.capitalize()} {names[j]} produced the most {item} "
+            f"({int(values[j])})"
+        )
+        facts = {
+            "kind": kind, "value": int(values[j]), "name": names[j],
+            "cited": cited,
+        }
+    cite_str = ", ".join(f"p.{p}" for p in cited)
+    answer_md = (
+        f"Based on the retrieved pages ({doc_id} {cite_str}):\n\n"
+        f"- {claim} ({doc_id} {cite_str})"
+    )
+    return question, evidence_pack, answer_md, facts
+
+
 def qa_batches(
     cfg: VLMConfig,
     batch_size: int,
     text_len: int = 512,
     seed: int = 0,
+    agg_frac: float = 0.0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Text-only answer-task batches shaped for the SAME train step as page
     extraction (blank pages ride the vision tower so one checkpoint serves
@@ -274,7 +366,11 @@ def qa_batches(
 
     token_ids = BOS TASK_ANSWER question SEP evidence SEP answer EOS —
     matching VLMRunner.answer's prompt layout so generation continues
-    exactly where the training prompt ends."""
+    exactly where the training prompt ends.
+
+    agg_frac: fraction of examples drawn from the AGGREGATION generator
+    (counts/totals/superlatives across pages, _synthetic_agg_qa_example) —
+    supervision the extractive engine cannot imitate."""
     from ..models.tokenizer import TASK_ANSWER_ID
 
     rng = np.random.default_rng(seed)
@@ -288,7 +384,10 @@ def qa_batches(
         # it drowns the answer-format gradient ~10:1 otherwise.
         loss_mask = np.zeros((batch_size, text_len), np.int32)
         for i in range(batch_size):
-            q, ev, ans = _synthetic_qa_example(rng)
+            if rng.random() < agg_frac:
+                q, ev, ans, _ = _synthetic_agg_qa_example(rng)
+            else:
+                q, ev, ans = _synthetic_qa_example(rng)
             ids: List[int] = [BOS_ID, TASK_ANSWER_ID]
             ids += tok.encode(q)
             ids.append(SEP_ID)
