@@ -96,6 +96,30 @@ def test_auto_engine_extractive_without_checkpoint(tmp_path, monkeypatch):
     assert lm_answer_available() is False
 
 
+def test_answer_preset_decoupled_from_extract_preset(tmp_path, monkeypatch):
+    """Shipping a better page-reader (ocr_real, extract-only) must not
+    downgrade /chat: the answer engine resolves its OWN preset — the best
+    shipped checkpoint declaring answer training."""
+    from vision_compression_project_tpu.pipeline.qa import lm_answer_available
+
+    root = _fake_root(tmp_path, monkeypatch, presets=("ocr_real", "ocr_bpe"))
+    for p, tasks in (("ocr_real", ["extract"]), ("ocr_bpe", ["extract", "answer"])):
+        f = root / p / "meta.json"
+        meta = json.loads(f.read_text())
+        meta["tasks"] = tasks
+        f.write_text(json.dumps(meta))
+    _set_runtime(monkeypatch, model_preset="auto", checkpoint_dir=None)
+    assert config.resolve_model_preset() == "ocr_real"  # best page-reader
+    preset, ckpt = config.resolve_answer_preset()
+    assert preset == "ocr_bpe" and ckpt.endswith("ocr_bpe")
+    assert lm_answer_available() is True
+    # VCP_ANSWER_PRESET forces a specific answer model.
+    monkeypatch.setenv("VCP_ANSWER_PRESET", "ocr_real")
+    assert config.resolve_answer_preset() is None  # forced preset lacks it
+    monkeypatch.setenv("VCP_ANSWER_PRESET", "ocr_bpe")
+    assert config.resolve_answer_preset()[0] == "ocr_bpe"
+
+
 def test_auto_engine_explicit_ckpt_reads_its_meta(tmp_path, monkeypatch):
     from vision_compression_project_tpu.pipeline.qa import lm_answer_available
 

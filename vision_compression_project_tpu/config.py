@@ -126,6 +126,36 @@ def resolve_checkpoint_dir(preset: str) -> Optional[str]:
     return RUNTIME.checkpoint_dir or shipped_checkpoint_dir(preset)
 
 
+def resolve_answer_preset() -> Optional[tuple]:
+    """(preset, ckpt_dir) of the best shipped checkpoint that declares
+    answer-task training in its meta — the model the QA engine loads for
+    generated answers.  Decoupled from the extraction preset: the best
+    page-reader (e.g. ocr_real) and the best answerer (e.g. ocr_bpe,
+    trained multitask on evidence-pack answering) can be different
+    checkpoints, each serving its own engine.  VCP_ANSWER_PRESET forces a
+    specific preset; explicit VCP_CHECKPOINT_DIR (with a meta.json
+    declaring 'answer') wins over shipped weights."""
+    if RUNTIME.checkpoint_dir:
+        try:
+            import json
+
+            meta = json.loads(
+                (Path(RUNTIME.checkpoint_dir) / "meta.json").read_text()
+            )
+        except (OSError, ValueError):
+            meta = {}
+        if "answer" in meta.get("tasks", ()):
+            return resolve_model_preset(), RUNTIME.checkpoint_dir
+        return None
+    forced = os.environ.get("VCP_ANSWER_PRESET")
+    names = (forced,) if forced else _PRESET_PREFERENCE
+    for name in names:
+        d = shipped_checkpoint_dir(name)
+        if d and "answer" in shipped_meta(name).get("tasks", ()):
+            return name, d
+    return None
+
+
 def shipped_meta(preset: str) -> dict:
     """Training-rendering metadata written by scripts/ship_checkpoint.py
     (font_size / dpi / lines the weights were trained on); {} if absent."""

@@ -56,26 +56,40 @@ def _get_embedder():
 
 
 def lm_answer_available() -> bool:
-    """True when the checkpoint the serving runner will load declares
-    answer-task training — the condition under which engine 'auto' selects
-    generation over extraction.  A checkpoint declares it via the 'tasks'
-    list in its meta.json (written by scripts/ship_checkpoint.py for shipped
-    weights; an explicit VCP_CHECKPOINT_DIR may carry its own meta.json)."""
+    """True when an answer-task-trained checkpoint resolves — the condition
+    under which engine 'auto' selects generation over extraction.  A
+    checkpoint declares answer training via the 'tasks' list in its
+    meta.json (scripts/ship_checkpoint.py --tasks); the answer model is
+    resolved independently of the extraction model
+    (config.resolve_answer_preset), so upgrading the page-reader preset
+    never silently downgrades /chat to extraction."""
     from .. import config  # late lookups: tests swap RUNTIME/roots
 
-    preset = config.resolve_model_preset()
-    ckpt = config.resolve_checkpoint_dir(preset)
-    if not ckpt:
-        return False
-    if config.RUNTIME.checkpoint_dir:
-        try:
-            meta = json.loads(
-                (Path(config.RUNTIME.checkpoint_dir) / "meta.json").read_text()
-            )
-        except (OSError, ValueError):
-            return False
-        return "answer" in meta.get("tasks", ())
-    return "answer" in config.shipped_meta(preset).get("tasks", ())
+    return config.resolve_answer_preset() is not None
+
+
+_ANSWER_RUNNER_CACHE: Dict[tuple, object] = {}
+
+
+def _get_answer_runner():
+    """The runner serving GENERATED answers: the extraction runner when it
+    already carries answer training, else a dedicated runner for the best
+    answer-trained shipped checkpoint (cached per (preset, ckpt))."""
+    from .. import config
+    from .extract import _get_runner
+
+    resolved = config.resolve_answer_preset()
+    if resolved is None:
+        return _get_runner()  # engine was forced to 'lm'; use what serves
+    preset, ckpt = resolved
+    if preset == config.resolve_model_preset():
+        return _get_runner()
+    if resolved not in _ANSWER_RUNNER_CACHE:
+        from ..models import get_preset
+        from ..train.checkpoint import load_runner
+
+        _ANSWER_RUNNER_CACHE[resolved] = load_runner(get_preset(preset), ckpt)
+    return _ANSWER_RUNNER_CACHE[resolved]
 
 
 def _extract_result_info(result, manifest: Optional[Dict]):
@@ -265,9 +279,7 @@ def answer_question(
 
     if engine == "lm":
         if runner is None:
-            from .extract import _get_runner
-
-            runner = _get_runner()
+            runner = _get_answer_runner()
         answer_md = runner.answer(question, evidence_pack)
         if not answer_md.strip():
             answer_md = NOT_FOUND
