@@ -1,0 +1,120 @@
+"""CCITT G4 + DeviceCMYK image XObjects (VERDICT r2 item: the rarer image
+codecs Poppler gives the reference for free).
+
+The G4 fixture comes from an INDEPENDENT encoder (PIL's PDF plugin writes
+mode-1 images as CCITTFaxDecode K=-1 with BlackIs1 true), so the decoder in
+raster/cpp/ccitt.h is validated against a real Group 4 bitstream, not our
+own bytes.  The CMYK fixture is a hand-authored PDF with a Flate-compressed
+DeviceCMYK image.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from vision_compression_project_tpu.raster import PdfDocument
+
+
+@pytest.fixture(scope="module")
+def ccitt_pdf(tmp_path_factory):
+    """Black page with a centered white rectangle, G4-encoded by PIL."""
+    from PIL import Image
+
+    img = np.zeros((100, 160), np.uint8)  # black field
+    img[20:80, 40:120] = 255              # white box
+    path = tmp_path_factory.mktemp("ccitt") / "g4.pdf"
+    Image.fromarray(img).convert("1").save(path, "PDF", resolution=72)
+    raw = path.read_bytes()
+    assert b"CCITTFaxDecode" in raw  # PIL wrote a real G4 stream
+    return path
+
+
+def test_ccitt_g4_image_renders(ccitt_pdf):
+    with PdfDocument(ccitt_pdf) as doc:
+        assert doc.page_count == 1
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    # Page ~160x100pt at 72dpi -> ~160x100 px.
+    inner = page[int(h * 0.35) : int(h * 0.6), int(w * 0.35) : int(w * 0.6)]
+    outer = page[: int(h * 0.1), : int(w * 0.15)]
+    assert inner.mean() > 200, inner.mean()  # white box recovered
+    assert outer.mean() < 60, outer.mean()   # black field recovered
+
+
+def test_ccitt_g4_structure(ccitt_pdf):
+    """Pixel-accurate: the decoded geometry matches the source bitmap —
+    vertical/horizontal/pass modes and the run tables all in play."""
+    with PdfDocument(ccitt_pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    ys, xs = np.where(gray > 128)
+    assert len(ys) > 0
+    # White box occupies rows ~20-80 of 100 and cols ~40-120 of 160.
+    h, w = gray.shape
+    assert abs(ys.min() / h - 0.20) < 0.06 and abs(ys.max() / h - 0.80) < 0.06
+    assert abs(xs.min() / w - 0.25) < 0.06 and abs(xs.max() / w - 0.75) < 0.06
+
+
+def _cmyk_pdf(path):
+    """Minimal PDF: one page with a Flate DeviceCMYK image XObject —
+    left half pure cyan, right half pure yellow, bottom strip black."""
+    w, h = 8, 6
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            if y >= h - 2:
+                px += bytes((0, 0, 0, 255))          # black via K
+            elif x < w // 2:
+                px += bytes((255, 0, 0, 0))          # cyan
+            else:
+                px += bytes((0, 0, 255, 0))          # yellow
+    data = zlib.compress(bytes(px))
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Width 8 /Height 6"
+        b" /ColorSpace /DeviceCMYK /BitsPerComponent 8"
+        b" /Filter /FlateDecode /Length " + str(len(data)).encode() + b" >>\n"
+        b"stream\n" + data + b"\nendstream"
+    )
+    content = b"q 160 0 0 120 0 0 cm /Im1 Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>",
+        img,
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode()
+        + b"\n%%EOF\n"
+    )
+    path.write_bytes(bytes(out))
+    return path
+
+
+def test_cmyk_flate_image_renders(tmp_path):
+    pdf = _cmyk_pdf(tmp_path / "cmyk.pdf")
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    left = page[int(h * 0.2) : int(h * 0.45), : int(w * 0.4)].reshape(-1, 3)
+    right = page[int(h * 0.2) : int(h * 0.45), int(w * 0.6) :].reshape(-1, 3)
+    bottom = page[int(h * 0.75) :, :].reshape(-1, 3)
+    lm, rm, bm = left.mean(0), right.mean(0), bottom.mean(0)
+    # cyan: low R, high G/B; yellow: high R/G, low B; black: all low.
+    assert lm[0] < 90 and lm[1] > 160 and lm[2] > 160, lm
+    assert rm[0] > 160 and rm[1] > 160 and rm[2] < 90, rm
+    assert bm.max() < 60, bm

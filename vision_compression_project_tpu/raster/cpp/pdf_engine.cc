@@ -32,6 +32,7 @@
 #include <thread>
 #include <vector>
 
+#include "ccitt.h"
 #include "cff.h"
 #include "font.h"
 #include "jpeg_decode.h"
@@ -778,7 +779,50 @@ class Document {
       img->px = std::move(px);
       return img;
     }
-    std::string data = decode_stream(s);
+    bool ccitt_last = !filters.empty() && (filters.back() == "CCITTFaxDecode" ||
+                                           filters.back() == "CCF");
+    std::string data;
+    if (ccitt_last) {
+      // Scanned-document bilevel codec (T.4/T.6).  Run pre-filters, then
+      // decode to the standard packed-1-bit filter output and fall through
+      // to the generic bpc==1 raster path below.
+      std::string cur = s->stream;
+      for (size_t i = 0; i + 1 < filters.size(); i++) {
+        if (filters[i] == "FlateDecode" || filters[i] == "Fl") {
+          std::string out;
+          if (!inflate_bytes(cur, &out)) return nullptr;
+          cur = out;
+        } else {
+          return nullptr;
+        }
+      }
+      // DecodeParms: dict, or array aligned with the filter array.
+      ObjPtr parms = resolve(get(s, "DecodeParms"));
+      if (!parms->is(Obj::kDict) && !parms->is(Obj::kArray))
+        parms = resolve(get(s, "DP"));
+      if (parms->is(Obj::kArray) && !parms->arr.empty())
+        parms = resolve(parms->arr.back());
+      int kparm = 0, columns = 1728, prows = h;
+      bool black1 = false, byte_align = false;
+      if (parms->is(Obj::kDict)) {
+        kparm = static_cast<int>(resolve(get(parms, "K"))->as_num(0));
+        columns = static_cast<int>(
+            resolve(get(parms, "Columns"))->as_num(1728));
+        prows = static_cast<int>(resolve(get(parms, "Rows"))->as_num(h));
+        ObjPtr b1 = resolve(get(parms, "BlackIs1"));
+        black1 = b1->is(Obj::kBool) && b1->bval;
+        ObjPtr ba = resolve(get(parms, "EncodedByteAlign"));
+        byte_align = ba->is(Obj::kBool) && ba->bval;
+      }
+      if (columns != w || prows < h) {
+        columns = w;  // trust the image dict when parms disagree
+      }
+      if (!ccitt::decode(cur, kparm, columns, h, black1, byte_align, &data))
+        return nullptr;
+      bpc = 1;
+    } else {
+      data = decode_stream(s);
+    }
     if (data.empty()) return nullptr;
     // Color space: DeviceGray / DeviceRGB / Indexed(base, hival, lookup).
     ObjPtr cs = resolve(get(s, "ColorSpace"));
@@ -798,16 +842,17 @@ class Document {
                  cs->arr.size() >= 2) {
         ObjPtr prof = resolve(cs->arr[1]);
         int n = static_cast<int>(resolve(get(prof, "N"))->as_num(3));
-        cs_name = n == 1 ? "DeviceGray" : "DeviceRGB";
+        cs_name = n == 1 ? "DeviceGray" : n == 4 ? "DeviceCMYK" : "DeviceRGB";
       }
     }
     int comps_in = cs_name == "DeviceRGB" ? 3
+                   : cs_name == "DeviceCMYK" ? 4
                    : cs_name == "DeviceGray" || cs_name == "Indexed" ||
                            cs_name == "CalGray"
                        ? 1
                    : cs_name == "CalRGB" ? 3
                                          : (bpc == 8 ? 3 : 1);
-    img->comps = cs_name == "Indexed" ? 3 : (comps_in == 3 ? 3 : 1);
+    img->comps = cs_name == "Indexed" || comps_in >= 3 ? 3 : 1;
     img->px.assign(static_cast<size_t>(w) * h * img->comps, 0);
     long row_bits = static_cast<long>(w) * comps_in * bpc;
     long row_bytes = (row_bits + 7) / 8;
@@ -816,7 +861,7 @@ class Document {
       const unsigned char* row =
           reinterpret_cast<const unsigned char*>(data.data()) + y * row_bytes;
       for (int x = 0; x < w; x++) {
-        int vals[3] = {0, 0, 0};
+        int vals[4] = {0, 0, 0, 0};
         for (int ci = 0; ci < comps_in; ci++) {
           long bit = (static_cast<long>(x) * comps_in + ci) * bpc;
           int v;
@@ -843,6 +888,12 @@ class Document {
             out[0] = palette[pi];
             out[1] = palette[pi + 1];
             out[2] = palette[pi + 2];
+          }
+        } else if (comps_in == 4) {
+          // DeviceCMYK -> RGB (additive complement with black added in).
+          for (int c3 = 0; c3 < 3; c3++) {
+            int v = 255 - vals[c3] - vals[3];
+            out[c3] = static_cast<uint8_t>(v < 0 ? 0 : v);
           }
         } else if (img->comps == 3) {
           out[0] = vals[0];
