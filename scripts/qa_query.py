@@ -6,8 +6,11 @@ scripts/qa_with_supermemory_and_gemini.py (--question --manifest --top_k
 --max_chars_per_page --model --rewrite_query; writes
 output/answers/<YYYYMMDD_HHMMSS>_answer.md with '# Question / # Answer /
 # Retrieved Pages (for debugging)' sections, reference :324-366), with
-retrieval and generation on device.  --rewrite_query uses the deterministic
-query rewriter instead of an extra cloud round-trip (reference :189-232)."""
+retrieval and generation on device.  --rewrite_query replaces the
+reference's extra Gemini round-trip (reference :189-232) with the
+MODEL-BASED rewriter: candidate phrases scored by the serving embedding
+model in the index's own vector space (pipeline/qa.py::
+rewrite_query_learned), deterministic content-word fallback."""
 
 import argparse
 import json
@@ -81,7 +84,13 @@ def main():
 
     question = args.question
     if args.rewrite_query:
-        phrases = qa.rewrite_query(question)
+        # Model-based rewrite (the reference's Gemini round trip): phrases
+        # scored by the serving embedder in the index's own vector space.
+        from vision_compression_project_tpu.pipeline.ingest import (
+            _get_embedder,
+        )
+
+        phrases = qa.rewrite_query_learned(question, _get_embedder())
         print(f"Rewritten query phrases: {phrases}")
         search_question = "; ".join(phrases)
     else:

@@ -17,6 +17,18 @@ from flax import linen as nn
 
 from ..ops.attention import flash_attention, mha_reference
 
+
+def _use_flash(s: int, head_dim: int) -> bool:
+    """Pallas flash for long sequences; VCP_FORCE_XLA_ATTENTION=1 forces the
+    XLA reference path everywhere — on CPU the Pallas kernel runs in
+    interpret mode (minutes per call at 512px+ presets), so this is what
+    makes big-preset checkpoints evaluable off-TPU."""
+    import os
+
+    if os.environ.get("VCP_FORCE_XLA_ATTENTION") == "1":
+        return False
+    return s >= 128 and head_dim % 8 == 0
+
 Dtype = Any
 
 
@@ -199,7 +211,7 @@ class Attention(nn.Module):
             # The flash wrapper pads ragged lengths to its block size, so
             # any long sequence stays on the Pallas kernel (a 2046-token
             # fallback to materialized (S,S) XLA attention OOMs training).
-            if s >= 128 and self.head_dim % 8 == 0:
+            if _use_flash(s, self.head_dim):
                 o = flash_attention(q, k, v, kv_len=kv_len, causal=self.causal)
             else:
                 o = mha_reference(q, k, v, kv_len=kv_len, causal=self.causal)
@@ -226,7 +238,7 @@ class Attention(nn.Module):
             cos, sin = self.rope_cos[:s], self.rope_sin[:s]
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        if s >= 128 and self.head_dim % 8 == 0:
+        if _use_flash(s, self.head_dim):
             o = flash_attention(q, k, v, kv_len=kv_len, causal=self.causal)
         else:
             o = mha_reference(q, k, v, kv_len=kv_len, causal=self.causal)

@@ -152,6 +152,48 @@ def rewrite_query(question: str, max_phrases: int = 3) -> List[str]:
     return phrases[:max_phrases]
 
 
+def rewrite_query_learned(
+    question: str, embedder, max_phrases: int = 3
+) -> List[str]:
+    """MODEL-BASED query rewrite — the learned counterpart of the
+    reference's extra Gemini round trip (reference
+    scripts/qa_with_supermemory_and_gemini.py:189-232).
+
+    Candidate content-word n-gram phrases are scored by the embedding
+    model IN THE SAME SPACE the index searches (cosine to the full-question
+    embedding), so the rewrites are optimized for what retrieval can
+    actually match, and near-duplicate phrases are suppressed by mutual
+    similarity.  Returns [full content phrase, top-scoring diverse
+    sub-phrases...], falling back to the deterministic rewrite when no
+    candidates survive."""
+    words = re.findall(r"[A-Za-z0-9][A-Za-z0-9'-]*", question.lower())
+    content = [w for w in words if w not in _STOPWORDS and len(w) > 1]
+    if len(content) < 2:
+        return rewrite_query(question, max_phrases)
+    full = " ".join(content)
+    cands: List[str] = []
+    for n in range(2, min(4, len(content)) + 1):
+        for i in range(len(content) - n + 1):
+            phrase = " ".join(content[i : i + n])
+            if phrase != full and phrase not in cands:
+                cands.append(phrase)
+    if not cands:
+        return [full]
+    vecs = np.asarray(embedder.embed([question] + cands), np.float32)
+    qv, cv = vecs[0], vecs[1:]
+    sims = cv @ qv
+    order = np.argsort(-sims)
+    chosen: List[int] = []
+    for idx in order:
+        if len(chosen) >= max_phrases - 1:
+            break
+        # diversity: skip candidates that mostly repeat a chosen phrase
+        if any(float(cv[idx] @ cv[j]) > 0.9 for j in chosen):
+            continue
+        chosen.append(int(idx))
+    return [full] + [cands[i] for i in chosen]
+
+
 def _compose_extractive_answer(
     question: str,
     results: List[Dict],
