@@ -118,3 +118,23 @@ def test_cmyk_flate_image_renders(tmp_path):
     assert lm[0] < 90 and lm[1] > 160 and lm[2] > 160, lm
     assert rm[0] > 160 and rm[1] > 160 and rm[2] < 90, rm
     assert bm.max() < 60, bm
+
+
+def test_cmyk_jpeg_image_renders(tmp_path):
+    """Adobe CMYK JPEG (4-component DCTDecode with inverted channels) —
+    PIL's PDF plugin is the independent producer."""
+    from PIL import Image
+
+    img = np.zeros((60, 90, 4), np.uint8)
+    img[:, :45] = [255, 0, 0, 0]    # pure cyan
+    img[:, 45:] = [0, 0, 255, 0]    # pure yellow
+    pdf = tmp_path / "cmyk_jpeg.pdf"
+    Image.fromarray(img, "CMYK").save(pdf, "PDF", resolution=72)
+    assert b"DCTDecode" in pdf.read_bytes()
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    left = page[h // 4 : h // 2, : int(w * 0.4)].reshape(-1, 3).mean(0)
+    right = page[h // 4 : h // 2, int(w * 0.6) :].reshape(-1, 3).mean(0)
+    assert left[0] < 90 and left[1] > 150 and left[2] > 150, left    # cyan
+    assert right[0] > 150 and right[1] > 150 and right[2] < 90, right  # yellow

@@ -69,6 +69,12 @@ class JpegDecoder {
           if (!decode_scan()) return false;
           if (!finish(out, width, height, comps)) return false;
           return true;
+        case 0xEE:  // APP14 "Adobe": carries the CMYK/YCCK transform flag
+          if (seg_end - p_ >= 11 && memcmp(d_ + p_, "Adobe", 5) == 0) {
+            adobe_present_ = true;
+            adobe_transform_ = d_[seg_end - 1];
+          }
+          break;
         default:
           break;  // APPn/COM/etc: skip
       }
@@ -101,6 +107,8 @@ class JpegDecoder {
   uint16_t qt_[4][64] = {};
   Huff hdc_[4], hac_[4];
   int restart_interval_ = 0;
+  bool adobe_present_ = false;
+  int adobe_transform_ = 0;
   int hmax_ = 1, vmax_ = 1, mcux_ = 0, mcuy_ = 0;
   // bit reader state
   uint32_t bitbuf_ = 0;
@@ -142,7 +150,8 @@ class JpegDecoder {
     width_ = (d_[p_ + 2] << 8) | d_[p_ + 3];
     p_ += 4;
     ncomp_ = d_[p_++];
-    if (ncomp_ != 1 && ncomp_ != 3) return false;
+    // 4 components = Adobe CMYK / YCCK (scanned color documents).
+    if (ncomp_ != 1 && ncomp_ != 3 && ncomp_ != 4) return false;
     for (int i = 0; i < ncomp_; i++) {
       if (p_ + 3 > n_) return false;
       comp_[i].id = d_[p_];
@@ -367,6 +376,10 @@ class JpegDecoder {
     return true;
   }
 
+  static uint8_t clamp8(int v) {
+    return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+  }
+
   bool finish(std::vector<uint8_t>* out, int* width, int* height, int* comps) {
     *width = width_;
     *height = height_;
@@ -374,7 +387,7 @@ class JpegDecoder {
     out->resize(static_cast<size_t>(width_) * height_ * *comps);
     for (int y = 0; y < height_; y++) {
       for (int x = 0; x < width_; x++) {
-        int vals[3];
+        int vals[4] = {0, 0, 0, 0};
         for (int i = 0; i < ncomp_; i++) {
           Component& c = comp_[i];
           int sx = x * c.h / hmax_;
@@ -384,14 +397,32 @@ class JpegDecoder {
         uint8_t* px = out->data() + (static_cast<size_t>(y) * width_ + x) * *comps;
         if (ncomp_ == 1) {
           px[0] = static_cast<uint8_t>(vals[0]);
-        } else {
+        } else if (ncomp_ == 3) {
           double Y = vals[0], Cb = vals[1] - 128.0, Cr = vals[2] - 128.0;
-          int r = static_cast<int>(lrint(Y + 1.402 * Cr));
-          int g = static_cast<int>(lrint(Y - 0.344136 * Cb - 0.714136 * Cr));
-          int b = static_cast<int>(lrint(Y + 1.772 * Cb));
-          px[0] = static_cast<uint8_t>(r < 0 ? 0 : (r > 255 ? 255 : r));
-          px[1] = static_cast<uint8_t>(g < 0 ? 0 : (g > 255 ? 255 : g));
-          px[2] = static_cast<uint8_t>(b < 0 ? 0 : (b > 255 ? 255 : b));
+          px[0] = clamp8(static_cast<int>(lrint(Y + 1.402 * Cr)));
+          px[1] = clamp8(
+              static_cast<int>(lrint(Y - 0.344136 * Cb - 0.714136 * Cr)));
+          px[2] = clamp8(static_cast<int>(lrint(Y + 1.772 * Cb)));
+        } else {
+          // CMYK (Adobe transform 0) or YCCK (transform 2).  Adobe writers
+          // store the CMYK channels INVERTED (libjpeg convention).
+          int c = vals[0], m = vals[1], yy = vals[2], k = vals[3];
+          if (adobe_transform_ == 2) {
+            double Y = vals[0], Cb = vals[1] - 128.0, Cr = vals[2] - 128.0;
+            c = clamp8(static_cast<int>(lrint(Y + 1.402 * Cr)));
+            m = clamp8(
+                static_cast<int>(lrint(Y - 0.344136 * Cb - 0.714136 * Cr)));
+            yy = clamp8(static_cast<int>(lrint(Y + 1.772 * Cb)));
+          }
+          if (adobe_present_) {
+            c = 255 - c;
+            m = 255 - m;
+            yy = 255 - yy;
+            k = 255 - k;
+          }
+          px[0] = clamp8(255 - c - k);
+          px[1] = clamp8(255 - m - k);
+          px[2] = clamp8(255 - yy - k);
         }
       }
     }
