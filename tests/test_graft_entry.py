@@ -26,7 +26,7 @@ def _run(env: dict, n: int) -> subprocess.CompletedProcess:
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,
     )
 
 
@@ -73,7 +73,7 @@ def test_entry_compiles_single_chip():
         env=env,
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "entry OK" in proc.stdout

@@ -1,0 +1,125 @@
+"""Axial/radial shading (`sh` operator) — the gradient fills Poppler renders
+for the reference (LaTeX/tikz output uses ShadingType 2/3 with type-2/3
+functions).  Hand-authored fixtures; assertions check gradient direction,
+monotonicity and the W-clip bounding.
+"""
+
+import numpy as np
+
+from vision_compression_project_tpu.raster import PdfDocument
+
+
+def _pdf(path, objs):
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF\n"
+    )
+    path.write_bytes(bytes(out))
+    return path
+
+
+def _shading_pdf(path, shading, content):
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Resources << /Shading << /Sh0 4 0 R >> >> /Contents 5 0 R >>",
+        shading,
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    return _pdf(path, objs)
+
+
+def test_axial_shading_black_to_white(tmp_path):
+    pdf = _shading_pdf(
+        tmp_path / "axial.pdf",
+        b"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 160 0]"
+        b" /Extend [true true] /Function << /FunctionType 2 /Domain [0 1]"
+        b" /C0 [0 0 0] /C1 [1 1 1] /N 1 >> >>",
+        b"q 0 0 160 120 re W n /Sh0 sh Q",
+    )
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    cols = gray[h // 3 : 2 * h // 3].mean(axis=0)
+    assert cols[w // 16] < 40, cols[w // 16]          # left ~ black
+    assert cols[-w // 16] > 215, cols[-w // 16]       # right ~ white
+    mid = cols[w // 2]
+    assert 90 < mid < 170, mid                        # linear middle
+    # monotone non-decreasing left -> right (sampled)
+    samples = cols[:: max(1, w // 16)]
+    assert all(b >= a - 3 for a, b in zip(samples, samples[1:])), samples
+
+
+def test_axial_shading_respects_clip(tmp_path):
+    """Painting is bounded by the current clip (re W n idiom)."""
+    pdf = _shading_pdf(
+        tmp_path / "clip.pdf",
+        b"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 160 0]"
+        b" /Extend [true true] /Function << /FunctionType 2 /Domain [0 1]"
+        b" /C0 [0 0 0] /C1 [0 0 0] /N 1 >> >>",
+        b"q 40 30 80 60 re W n /Sh0 sh Q",
+    )
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    assert gray[h // 2, w // 2] < 40        # inside the clip: painted black
+    assert gray[2, 2] > 230                 # outside: untouched white
+    assert gray[h - 3, w - 3] > 230
+
+
+def test_radial_shading_bullseye(tmp_path):
+    pdf = _shading_pdf(
+        tmp_path / "radial.pdf",
+        b"<< /ShadingType 3 /ColorSpace /DeviceRGB"
+        b" /Coords [80 60 0 80 60 70] /Extend [true true]"
+        b" /Function << /FunctionType 2 /Domain [0 1]"
+        b" /C0 [1 1 1] /C1 [0 0 0] /N 1 >> >>",
+        b"q 0 0 160 120 re W n /Sh0 sh Q",
+    )
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    center = gray[h // 2 - 3 : h // 2 + 3, w // 2 - 3 : w // 2 + 3].mean()
+    corner = gray[:6, :6].mean()
+    assert center > 215, center   # white core
+    assert corner < 110, corner   # dark rim
+    # radially monotone: brightness decreases with distance from center
+    ring1 = gray[h // 2, w // 2 + w // 8]
+    ring2 = gray[h // 2, w // 2 + w // 4]
+    assert center >= ring1 >= ring2, (center, ring1, ring2)
+
+
+def test_stitching_function_two_segments(tmp_path):
+    """Type-3 stitching: black->white over [0,.5], white->black over [.5,1]."""
+    pdf = _shading_pdf(
+        tmp_path / "stitch.pdf",
+        b"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 160 0]"
+        b" /Extend [true true] /Function << /FunctionType 3 /Domain [0 1]"
+        b" /Functions [ << /FunctionType 2 /Domain [0 1] /C0 [0 0 0]"
+        b" /C1 [1 1 1] /N 1 >> << /FunctionType 2 /Domain [0 1]"
+        b" /C0 [1 1 1] /C1 [0 0 0] /N 1 >> ] /Bounds [0.5]"
+        b" /Encode [0 1 0 1] >> >>",
+        b"q 0 0 160 120 re W n /Sh0 sh Q",
+    )
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    row = gray[h // 2]
+    assert row[w // 16] < 50 and row[-w // 16] < 50     # ends dark
+    assert row[w // 2] > 200, row[w // 2]               # middle bright

@@ -20,6 +20,7 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <array>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -433,11 +434,85 @@ struct PositionedRun {
   std::vector<double> offsets;      // per-glyph x offset from run origin, pts
 };
 
+// PDF functions for shadings: type 2 (exponential interpolation) and
+// type 3 (stitching); /Function given as an array evaluates componentwise.
+struct FuncDef {
+  int type = -1;
+  double domain[2] = {0, 1};
+  std::vector<double> c0{0.0}, c1{1.0};
+  double n = 1;
+  std::vector<FuncDef> subs;
+  std::vector<double> bounds, encode;
+
+  void eval(double t, std::vector<double>* out) const {
+    t = std::max(domain[0], std::min(domain[1], t));
+    if (type == 2) {
+      double tn = pow(t, n);
+      out->resize(std::max(c0.size(), c1.size()));
+      for (size_t i = 0; i < out->size(); i++) {
+        double a = i < c0.size() ? c0[i] : 0.0;
+        double b = i < c1.size() ? c1[i] : 1.0;
+        (*out)[i] = a + tn * (b - a);
+      }
+      return;
+    }
+    if (type == 3 && !subs.empty()) {
+      size_t k = 0;
+      while (k < bounds.size() && t >= bounds[k]) k++;
+      double lo = k == 0 ? domain[0] : bounds[k - 1];
+      double hi = k < bounds.size() ? bounds[k] : domain[1];
+      double e0 = 2 * k < encode.size() ? encode[2 * k] : 0.0;
+      double e1 = 2 * k + 1 < encode.size() ? encode[2 * k + 1] : 1.0;
+      double u = hi > lo ? (t - lo) / (hi - lo) : 0.0;
+      subs[std::min(k, subs.size() - 1)].eval(e0 + u * (e1 - e0), out);
+      return;
+    }
+    out->assign(1, t);  // identity fallback
+  }
+};
+
+// Axial (type 2) / radial (type 3) shading, pre-parsed at page-load time.
+struct ShadingDef {
+  int type = 0;
+  double coords[6] = {0, 0, 0, 0, 0, 0};
+  double domain[2] = {0, 1};
+  bool extend0 = false, extend1 = false;
+  std::vector<FuncDef> fns;  // 1 multi-output or N componentwise
+  bool ok = false;
+
+  void color(double t, uint8_t rgb[3]) const {
+    std::vector<double> vals;
+    if (fns.size() == 1) {
+      fns[0].eval(t, &vals);
+    } else {
+      vals.resize(fns.size());
+      std::vector<double> one;
+      for (size_t i = 0; i < fns.size(); i++) {
+        fns[i].eval(t, &one);
+        vals[i] = one.empty() ? 0.0 : one[0];
+      }
+    }
+    auto to8 = [](double v) {
+      int x = static_cast<int>(lrint(v * 255.0));
+      return static_cast<uint8_t>(x < 0 ? 0 : (x > 255 ? 255 : x));
+    };
+    if (vals.size() >= 3) {
+      rgb[0] = to8(vals[0]);
+      rgb[1] = to8(vals[1]);
+      rgb[2] = to8(vals[2]);
+    } else {
+      uint8_t g = to8(vals.empty() ? 0.0 : vals[0]);
+      rgb[0] = rgb[1] = rgb[2] = g;
+    }
+  }
+};
+
 struct PageData {
   double width_pts = 612, height_pts = 792;
   std::string content;                       // decoded content stream
   std::map<std::string, Font> fonts;         // resource name -> font
   std::map<std::string, std::shared_ptr<ImageXObject>> images;
+  std::map<std::string, ShadingDef> shadings;
 };
 
 class Document {
@@ -620,6 +695,7 @@ class Document {
       }
       load_fonts(resolve(resources), &pd);
       load_xobjects(resolve(resources), &pd);
+      load_shadings(resolve(resources), &pd);
       pages_.push_back(std::move(pd));
       return;
     }
@@ -907,6 +983,92 @@ class Document {
     return img;
   }
 
+  bool parse_function(const ObjPtr& fobj_in, FuncDef* out) {
+    ObjPtr fobj = resolve(fobj_in);
+    if (!fobj->is(Obj::kDict) && !fobj->is(Obj::kStream)) return false;
+    out->type = static_cast<int>(resolve(get(fobj, "FunctionType"))->as_num(-1));
+    ObjPtr dom = resolve(get(fobj, "Domain"));
+    if (dom->is(Obj::kArray) && dom->arr.size() >= 2) {
+      out->domain[0] = resolve(dom->arr[0])->as_num(0);
+      out->domain[1] = resolve(dom->arr[1])->as_num(1);
+    }
+    if (out->type == 2) {
+      auto read_vec = [&](const char* key, std::vector<double>* v,
+                          double dflt) {
+        ObjPtr a = resolve(get(fobj, key));
+        if (a->is(Obj::kArray)) {
+          v->clear();
+          for (auto& e : a->arr) v->push_back(resolve(e)->as_num(dflt));
+        }
+      };
+      read_vec("C0", &out->c0, 0.0);
+      read_vec("C1", &out->c1, 1.0);
+      out->n = resolve(get(fobj, "N"))->as_num(1);
+      return true;
+    }
+    if (out->type == 3) {
+      ObjPtr fns = resolve(get(fobj, "Functions"));
+      if (!fns->is(Obj::kArray) || fns->arr.empty()) return false;
+      for (auto& f : fns->arr) {
+        FuncDef sub;
+        if (!parse_function(f, &sub)) return false;
+        out->subs.push_back(std::move(sub));
+      }
+      ObjPtr b = resolve(get(fobj, "Bounds"));
+      if (b->is(Obj::kArray))
+        for (auto& e : b->arr) out->bounds.push_back(resolve(e)->as_num(0));
+      ObjPtr enc = resolve(get(fobj, "Encode"));
+      if (enc->is(Obj::kArray))
+        for (auto& e : enc->arr) out->encode.push_back(resolve(e)->as_num(0));
+      return true;
+    }
+    return false;  // sampled (0) / PostScript (4) functions: skip shading
+  }
+
+  void load_shadings(const ObjPtr& resources, PageData* pd) {
+    if (!resources->is(Obj::kDict)) return;
+    ObjPtr shs = resolve(get(resources, "Shading"));
+    if (!shs->is(Obj::kDict)) return;
+    for (auto& [name, sref] : shs->dict) {
+      ObjPtr sd = resolve(sref);
+      if (!sd->is(Obj::kDict) && !sd->is(Obj::kStream)) continue;
+      ShadingDef def;
+      def.type = static_cast<int>(resolve(get(sd, "ShadingType"))->as_num(0));
+      if (def.type != 2 && def.type != 3) continue;
+      ObjPtr coords = resolve(get(sd, "Coords"));
+      if (!coords->is(Obj::kArray)) continue;
+      for (size_t i = 0; i < coords->arr.size() && i < 6; i++)
+        def.coords[i] = resolve(coords->arr[i])->as_num(0);
+      ObjPtr dom = resolve(get(sd, "Domain"));
+      if (dom->is(Obj::kArray) && dom->arr.size() >= 2) {
+        def.domain[0] = resolve(dom->arr[0])->as_num(0);
+        def.domain[1] = resolve(dom->arr[1])->as_num(1);
+      }
+      ObjPtr ext = resolve(get(sd, "Extend"));
+      if (ext->is(Obj::kArray) && ext->arr.size() >= 2) {
+        ObjPtr e0 = resolve(ext->arr[0]), e1 = resolve(ext->arr[1]);
+        def.extend0 = e0->is(Obj::kBool) && e0->bval;
+        def.extend1 = e1->is(Obj::kBool) && e1->bval;
+      }
+      ObjPtr fn = resolve(get(sd, "Function"));
+      bool fok = true;
+      if (fn->is(Obj::kArray)) {
+        for (auto& f : fn->arr) {
+          FuncDef sub;
+          fok = fok && parse_function(f, &sub);
+          if (fok) def.fns.push_back(std::move(sub));
+        }
+      } else {
+        FuncDef one;
+        fok = parse_function(fn, &one);
+        if (fok) def.fns.push_back(std::move(one));
+      }
+      if (!fok || def.fns.empty()) continue;
+      def.ok = true;
+      pd->shadings[name] = std::move(def);
+    }
+  }
+
   void load_xobjects(const ObjPtr& resources, PageData* pd) {
     if (!resources->is(Obj::kDict)) return;
     ObjPtr xobjs = resolve(get(resources, "XObject"));
@@ -1085,7 +1247,84 @@ struct InterpResult {
   std::vector<PositionedRun> runs;  // y in PDF space (bottom-up)
   std::vector<Rect> rects;
   std::vector<ImagePlacement> images;
+  // Synthesized rasters (sampled shadings) the placements point into.
+  std::vector<std::shared_ptr<ImageXObject>> owned;
 };
+
+// Sample an axial/radial shading over a user-space rect into a small RGB
+// raster (drawn through the ordinary image path).  Shading coords are in
+// the space selected by `ctm` at the time of the `sh` operator.
+static std::shared_ptr<ImageXObject> shading_image(
+    const ShadingDef& def, const Mat& ctm, double rx, double ry, double rw,
+    double rh) {
+  const int N = 128;
+  auto img = std::make_shared<ImageXObject>();
+  img->w = N;
+  img->h = N;
+  img->comps = 3;
+  img->px.assign(static_cast<size_t>(N) * N * 3, 255);
+  auto tx = [&](double x, double y, double* ox, double* oy) {
+    *ox = x * ctm.a + y * ctm.c + ctm.e;
+    *oy = x * ctm.b + y * ctm.d + ctm.f;
+  };
+  double x0, y0, x1, y1;
+  double scale =
+      sqrt(fabs(ctm.a * ctm.d - ctm.b * ctm.c));  // radii scaling (uniform)
+  if (def.type == 2) {
+    tx(def.coords[0], def.coords[1], &x0, &y0);
+    tx(def.coords[2], def.coords[3], &x1, &y1);
+  } else {
+    tx(def.coords[0], def.coords[1], &x0, &y0);
+    tx(def.coords[3], def.coords[4], &x1, &y1);
+  }
+  double r0 = def.coords[2] * scale, r1 = def.coords[5] * scale;
+  double dx = x1 - x0, dy = y1 - y0;
+  double len2 = dx * dx + dy * dy;
+  for (int iy = 0; iy < N; iy++) {
+    double v = 1.0 - (iy + 0.5) / N;  // image row 0 = top = max y
+    double py = ry + v * rh;
+    for (int ix = 0; ix < N; ix++) {
+      double px = rx + (ix + 0.5) / N * rw;
+      double s;
+      bool hit = true;
+      if (def.type == 2) {
+        s = len2 > 1e-12
+                ? ((px - x0) * dx + (py - y0) * dy) / len2
+                : 0.0;
+      } else {
+        // |P - c(s)| = r(s), c/r lerped: quadratic in s.
+        double fx = px - x0, fy = py - y0, dr = r1 - r0;
+        double qa = len2 - dr * dr;
+        double qb = -2.0 * (fx * dx + fy * dy + r0 * dr);
+        double qc = fx * fx + fy * fy - r0 * r0;
+        if (fabs(qa) < 1e-9) {
+          hit = fabs(qb) > 1e-12;
+          s = hit ? -qc / qb : 0.0;
+        } else {
+          double disc = qb * qb - 4 * qa * qc;
+          if (disc < 0) {
+            hit = false;
+            s = 0;
+          } else {
+            double rt = sqrt(disc);
+            double s1 = (-qb + rt) / (2 * qa), s2 = (-qb - rt) / (2 * qa);
+            s = std::max(s1, s2);  // larger s = outermost circle
+            if (r0 + s * dr < 0) s = std::min(s1, s2);
+            hit = r0 + s * dr >= 0;
+          }
+        }
+      }
+      if (!hit) continue;
+      if (s < 0 && !def.extend0) continue;
+      if (s > 1 && !def.extend1) continue;
+      s = std::max(0.0, std::min(1.0, s));
+      double t = def.domain[0] + s * (def.domain[1] - def.domain[0]);
+      uint8_t* q = img->px.data() + (static_cast<size_t>(iy) * N + ix) * 3;
+      def.color(t, q);
+    }
+  }
+  return img;
+}
 
 class ContentInterp {
  public:
@@ -1094,6 +1333,10 @@ class ContentInterp {
     Lexer lex(page.content, 0);
     std::vector<ObjPtr> stack;
     std::vector<Mat> gstack;
+    // Crude clip tracking (bbox of `re ... W n` idiom): bounds `sh` paints.
+    double clip[4] = {0, 0, page.width_pts, page.height_pts};
+    std::vector<std::array<double, 4>> clipstack;
+    bool wflag = false;
     Mat ctm;  // device = user for our purposes (pts)
     Mat tm, tlm;
     const Font* font = nullptr;
@@ -1246,10 +1489,16 @@ class ContentInterp {
         ctm = Mat::mul(m, ctm);
       } else if (op == "q") {
         gstack.push_back(ctm);
+        clipstack.push_back({clip[0], clip[1], clip[2], clip[3]});
       } else if (op == "Q") {
         if (!gstack.empty()) {
           ctm = gstack.back();
           gstack.pop_back();
+        }
+        if (!clipstack.empty()) {
+          auto c = clipstack.back();
+          clipstack.pop_back();
+          clip[0] = c[0]; clip[1] = c[1]; clip[2] = c[2]; clip[3] = c[3];
         }
       } else if (op == "re") {
         auto a = popn(4);
@@ -1266,8 +1515,39 @@ class ContentInterp {
                                fabs(x1 - x0), fabs(y1 - y0), r.gray});
         }
         pending_rects_.clear();
-      } else if (op == "n" || op == "S" || op == "s" || op == "W" || op == "W*") {
+      } else if (op == "W" || op == "W*") {
+        wflag = true;  // intersect at the path-painting op that follows
+      } else if (op == "n" || op == "S" || op == "s") {
+        if (wflag && !pending_rects_.empty()) {
+          double bx0 = 1e18, by0 = 1e18, bx1 = -1e18, by1 = -1e18;
+          for (auto& r : pending_rects_) {
+            double xs[2] = {r.x, r.x + r.w}, ys[2] = {r.y, r.y + r.h};
+            for (double px : xs)
+              for (double py : ys) {
+                double ux = px * ctm.a + py * ctm.c + ctm.e;
+                double uy = px * ctm.b + py * ctm.d + ctm.f;
+                bx0 = std::min(bx0, ux); bx1 = std::max(bx1, ux);
+                by0 = std::min(by0, uy); by1 = std::max(by1, uy);
+              }
+          }
+          clip[0] = std::max(clip[0], bx0);
+          clip[1] = std::max(clip[1], by0);
+          clip[2] = std::min(clip[2], bx1);
+          clip[3] = std::min(clip[3], by1);
+        }
+        wflag = false;
         pending_rects_.clear();
+      } else if (op == "sh") {
+        auto a = popn(1);
+        auto it = page.shadings.find(a[0]->str);
+        double cw = clip[2] - clip[0], chh = clip[3] - clip[1];
+        if (it != page.shadings.end() && it->second.ok && cw > 0 && chh > 0) {
+          auto img = shading_image(it->second, ctm, clip[0], clip[1], cw, chh);
+          res.owned.push_back(img);
+          Mat place;  // unit square -> the clip rect (user-space pts)
+          place.a = cw; place.d = chh; place.e = clip[0]; place.f = clip[1];
+          res.images.push_back({img.get(), place});
+        }
       } else if (op == "Do") {
         auto a = popn(1);
         auto it = page.images.find(a[0]->str);
