@@ -62,7 +62,9 @@ def test_entry_compiles_single_chip():
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     code = (
-        "import __graft_entry__, jax\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"  # boot hook may pin axon
+        "import __graft_entry__\n"
         "fn, args = __graft_entry__.entry()\n"
         "out = jax.jit(fn)(*args)\n"
         "print('entry OK', out.shape)\n"

@@ -1505,6 +1505,25 @@ class ContentInterp {
         pending_rects_.push_back(
             {a[0]->as_num(), a[1]->as_num(), a[2]->as_num(), a[3]->as_num(), gray});
       } else if (op == "f" || op == "F" || op == "f*" || op == "b" || op == "B") {
+        if (wflag && !pending_rects_.empty()) {
+          // `W` before a painting op: the path also becomes the clip.
+          double bx0 = 1e18, by0 = 1e18, bx1 = -1e18, by1 = -1e18;
+          for (auto& r : pending_rects_) {
+            double xs[2] = {r.x, r.x + r.w}, ys[2] = {r.y, r.y + r.h};
+            for (double px : xs)
+              for (double py : ys) {
+                double ux = px * ctm.a + py * ctm.c + ctm.e;
+                double uy = px * ctm.b + py * ctm.d + ctm.f;
+                bx0 = std::min(bx0, ux); bx1 = std::max(bx1, ux);
+                by0 = std::min(by0, uy); by1 = std::max(by1, uy);
+              }
+          }
+          clip[0] = std::max(clip[0], bx0);
+          clip[1] = std::max(clip[1], by0);
+          clip[2] = std::min(clip[2], bx1);
+          clip[3] = std::min(clip[3], by1);
+          wflag = false;
+        }
         for (auto& r : pending_rects_) {
           // Transform corners by ctm (axis-aligned approximation).
           double x0 = r.x * ctm.a + r.y * ctm.c + ctm.e;
