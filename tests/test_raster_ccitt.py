@@ -138,3 +138,42 @@ def test_cmyk_jpeg_image_renders(tmp_path):
     right = page[h // 4 : h // 2, int(w * 0.6) :].reshape(-1, 3).mean(0)
     assert left[0] < 90 and left[1] > 150 and left[2] > 150, left    # cyan
     assert right[0] > 150 and right[1] > 150 and right[2] < 90, right  # yellow
+
+
+def test_decode_array_inverts_gray(tmp_path):
+    """/Decode [1 0]: per-component remap — a white-is-0 grayscale image
+    must render inverted."""
+    import zlib as _z
+
+    w, h = 6, 4
+    raw = bytes([0] * (w * h))  # all zeros; Decode [1 0] -> all WHITE
+    data = _z.compress(raw)
+    img = (
+        b"<< /Type /XObject /Subtype /Image /Width 6 /Height 4"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Decode [1 0]"
+        b" /Filter /FlateDecode /Length " + str(len(data)).encode() + b" >>\n"
+        b"stream\n" + data + b"\nendstream"
+    )
+    content = b"q 160 0 0 120 0 0 cm /Im1 Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>",
+        img,
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    from tests.test_raster_shading import _pdf
+
+    pdf = _pdf(tmp_path / "decode.pdf", objs)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    assert page.mean() > 230, page.mean()  # inverted to white
+
+    # Without Decode the same samples render black.
+    objs[3] = img.replace(b" /Decode [1 0]", b"")
+    pdf2 = _pdf(tmp_path / "decode2.pdf", objs)
+    with PdfDocument(pdf2) as doc:
+        page2 = doc.render_page(0, dpi=72)
+    assert page2.mean() < 40, page2.mean()

@@ -929,6 +929,22 @@ class Document {
                    : cs_name == "CalRGB" ? 3
                                          : (bpc == 8 ? 3 : 1);
     img->comps = cs_name == "Indexed" || comps_in >= 3 ? 3 : 1;
+    // /Decode array: per-component linear remap of sample values (e.g.
+    // [1 0] inverts a bilevel scan — common with CCITT producers).
+    double dec[8];
+    bool has_decode = false;
+    ObjPtr decode_arr = resolve(get(s, "Decode"));
+    if (decode_arr->is(Obj::kArray) && cs_name != "Indexed" &&
+        static_cast<int>(decode_arr->arr.size()) >= comps_in * 2) {
+      has_decode = true;
+      for (int i = 0; i < comps_in * 2 && i < 8; i++)
+        dec[i] = resolve(decode_arr->arr[i])->as_num(i % 2 ? 1.0 : 0.0);
+      // Identity decode: skip the per-pixel work.
+      bool ident = true;
+      for (int i = 0; i < comps_in; i++)
+        ident = ident && dec[2 * i] == 0.0 && dec[2 * i + 1] == 1.0;
+      if (ident) has_decode = false;
+    }
     img->px.assign(static_cast<size_t>(w) * h * img->comps, 0);
     long row_bits = static_cast<long>(w) * comps_in * bpc;
     long row_bytes = (row_bits + 7) / 8;
@@ -952,6 +968,13 @@ class Document {
             return nullptr;
           }
           vals[ci] = v;
+          if (has_decode) {
+            double t = v / 255.0;
+            double m =
+                dec[2 * ci] + t * (dec[2 * ci + 1] - dec[2 * ci]);
+            int mv = static_cast<int>(lrint(m * 255.0));
+            vals[ci] = mv < 0 ? 0 : (mv > 255 ? 255 : mv);
+          }
         }
         uint8_t* out =
             img->px.data() + (static_cast<size_t>(y) * w + x) * img->comps;
