@@ -20,12 +20,16 @@ import numpy as np
 
 
 def _agg_keyfact_ok(got: str, facts: dict) -> bool:
-    """The aggregate value (and, for superlatives, the winning name) appears
-    in the answer — the fact no evidence sentence contains."""
+    """The aggregate CLAIM appears in the answer: for counts/totals, a value
+    no evidence sentence contains; for superlatives, the winning name+value
+    PLUS the comparative assertion ('most') — quoting the winning row by
+    retrieval luck is not aggregation."""
     if not re.search(rf"\b{facts['value']}\b", got):
         return False
-    if facts["kind"] == "max" and facts["name"] not in got.lower():
-        return False
+    if facts["kind"] == "max":
+        low = got.lower()
+        if facts["name"] not in low or "most" not in low:
+            return False
     return True
 
 

@@ -123,3 +123,45 @@ def test_stitching_function_two_segments(tmp_path):
     row = gray[h // 2]
     assert row[w // 16] < 50 and row[-w // 16] < 50     # ends dark
     assert row[w // 2] > 200, row[w // 2]               # middle bright
+
+
+def test_inline_image_bi_id_ei(tmp_path):
+    """Inline images (BI/ID/EI): 8-bpc RGB raw and a 1-bpc ImageMask
+    painted with the current fill color."""
+    import zlib as _z
+
+    rgb = bytes()
+    for y in range(4):
+        for x in range(6):
+            rgb += bytes((255, 0, 0) if x < 3 else (0, 0, 255))
+    flate = _z.compress(rgb)
+    content = (
+        b"q 80 0 0 60 0 60 cm BI /W 6 /H 4 /BPC 8 /CS /RGB /F /Fl ID "
+        + flate + b" EI Q\n"
+        b"q 0.0 g 80 0 0 60 80 0 cm BI /W 8 /H 8 /BPC 1 /IM true ID "
+        + bytes([0x0F] * 8) + b" EI Q"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    pdf = _pdf(tmp_path / "inline.pdf", objs)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    # Top-left quadrant: red | blue halves of the RGB inline image.
+    tl = page[h // 8 : 3 * h // 8, : w // 4].reshape(-1, 3).mean(0)
+    tr = page[h // 8 : 3 * h // 8, w // 4 : w // 2].reshape(-1, 3).mean(0)
+    assert tl[0] > 150 and tl[2] < 90, tl    # red
+    assert tr[2] > 150 and tr[0] < 90, tr    # blue
+    # Bottom-right: mask bits 0 (left nibble) paint black, 1 stay white.
+    bm_paint = page[5 * h // 8 : 7 * h // 8,
+                    int(w * 0.52) : int(w * 0.70)].mean()
+    bm_clear = page[5 * h // 8 : 7 * h // 8,
+                    int(w * 0.80) : int(w * 0.95)].mean()
+    assert bm_paint < 60, bm_paint
+    assert bm_clear > 220, bm_clear

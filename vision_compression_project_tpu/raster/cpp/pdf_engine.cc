@@ -1595,6 +1595,109 @@ class ContentInterp {
         auto it = page.images.find(a[0]->str);
         if (it != page.images.end())
           res.images.push_back({it->second.get(), ctm});
+      } else if (op == "BI") {
+        // Inline image: /key value pairs to ID, raw bytes to a delimited
+        // EI.  Supported: 8-bpc gray/RGB and 1-bpc gray/ImageMask, raw or
+        // FlateDecode — the logo/separator/mask class of inline use.
+        std::map<std::string, ObjPtr> kv;
+        while (!lex.eof() && lex.peek() == '/') {
+          ObjPtr key = lex.parse();
+          if (!key->is(Obj::kName)) break;
+          kv[key->str] = lex.parse();
+        }
+        if (!lex.match("ID")) {
+          stack.clear();
+          continue;
+        }
+        const std::string& cdata = page.content;
+        size_t p = lex.pos();
+        if (p < cdata.size()) p++;  // single whitespace byte after ID
+        size_t e = p;
+        while (true) {
+          e = cdata.find("EI", e);
+          if (e == std::string::npos) break;
+          bool pre = e > 0 && isspace(static_cast<unsigned char>(cdata[e - 1]));
+          bool post = e + 2 >= cdata.size() ||
+                      isspace(static_cast<unsigned char>(cdata[e + 2])) ||
+                      cdata[e + 2] == '/' || cdata[e + 2] == 'Q';
+          if (pre && post) break;
+          e += 2;
+        }
+        if (e == std::string::npos) break;  // malformed: stop interpreting
+        std::string raw = cdata.substr(p, e - p);
+        lex.seek(e + 2);
+        auto kvnum = [&](const char* a, const char* b, double dflt) {
+          auto it = kv.find(a);
+          if (it == kv.end()) it = kv.find(b);
+          return it == kv.end() ? dflt : it->second->as_num(dflt);
+        };
+        int iw = static_cast<int>(kvnum("W", "Width", 0));
+        int ih = static_cast<int>(kvnum("H", "Height", 0));
+        int ibpc = static_cast<int>(kvnum("BPC", "BitsPerComponent", 8));
+        auto kvname = [&](const char* a, const char* b) -> std::string {
+          auto it = kv.find(a);
+          if (it == kv.end()) it = kv.find(b);
+          return it != kv.end() && it->second->is(Obj::kName) ? it->second->str
+                                                              : "";
+        };
+        std::string f = kvname("F", "Filter");
+        std::string cs = kvname("CS", "ColorSpace");
+        bool is_mask = false;
+        {
+          auto it = kv.find("IM");
+          if (it == kv.end()) it = kv.find("ImageMask");
+          is_mask = it != kv.end() && it->second->is(Obj::kBool) &&
+                    it->second->bval;
+        }
+        if (f == "Fl" || f == "FlateDecode") {
+          std::string out2;
+          if (!inflate_bytes(raw, &out2)) {
+            stack.clear();
+            continue;
+          }
+          raw = out2;
+        } else if (!f.empty()) {
+          stack.clear();
+          continue;  // other inline filters: skip the image
+        }
+        int ci = cs == "RGB" || cs == "DeviceRGB" ? 3 : 1;
+        if (is_mask) {
+          ci = 1;
+          ibpc = 1;
+        }
+        long need = (static_cast<long>(iw) * ci * ibpc + 7) / 8 * ih;
+        if (iw > 0 && ih > 0 && iw * ih <= 16 * 1024 * 1024 &&
+            (ibpc == 8 || ibpc == 1) &&
+            static_cast<long>(raw.size()) >= need) {
+          auto img = std::make_shared<ImageXObject>();
+          img->w = iw;
+          img->h = ih;
+          img->comps = ci;
+          img->px.resize(static_cast<size_t>(iw) * ih * ci);
+          long row_bytes = (static_cast<long>(iw) * ci * ibpc + 7) / 8;
+          for (int yy = 0; yy < ih; yy++) {
+            const unsigned char* row =
+                reinterpret_cast<const unsigned char*>(raw.data()) +
+                yy * row_bytes;
+            for (int xx = 0; xx < iw * ci; xx++) {
+              int v;
+              if (ibpc == 8) {
+                v = row[xx];
+              } else {
+                int bit = (row[xx / 8] >> (7 - xx % 8)) & 1;
+                // ImageMask: 0 = paint with the current color, 1 = clear.
+                v = is_mask ? (bit ? 255
+                                   : static_cast<int>(gray * 255))
+                            : (bit ? 255 : 0);
+              }
+              img->px[static_cast<size_t>(yy) * iw * ci + xx] =
+                  static_cast<uint8_t>(v);
+            }
+          }
+          res.owned.push_back(img);
+          res.images.push_back({img.get(), ctm});
+        }
+        stack.clear();
       } else if (op == "g" || op == "G") {
         gray = popn(1)[0]->as_num(0);
       } else if (op == "rg" || op == "RG") {
