@@ -165,3 +165,33 @@ def test_inline_image_bi_id_ei(tmp_path):
                     int(w * 0.80) : int(w * 0.95)].mean()
     assert bm_paint < 60, bm_paint
     assert bm_clear > 220, bm_clear
+
+
+def test_ascii85_and_runlength_filters(tmp_path):
+    """ASCII85Decode and RunLengthDecode content-stream filters."""
+    import base64
+
+    content = b"BT /F1 24 Tf 72 100 Td (Filter Test 85) Tj ET"
+    a85 = base64.a85encode(content) + b"~>"
+    rl = bytearray()
+    for ch in content:  # trivial literal runs of 1
+        rl += bytes((0, ch))
+    rl.append(128)
+    for name, data in (
+        (b"/ASCII85Decode", bytes(a85)),
+        (b"/RunLengthDecode", bytes(rl)),
+    ):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 200]"
+            b" /Resources << /Font << /F1 << /Type /Font /Subtype /Type1"
+            b" /BaseFont /Helvetica >> >> >> /Contents 4 0 R >>",
+            b"<< /Filter " + name + b" /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream",
+        ]
+        pdf = _pdf(tmp_path / (name[1:].decode() + ".pdf"), objs)
+        with PdfDocument(pdf) as doc:
+            assert "Filter Test 85" in doc.extract_text(0), name
+            page = doc.render_page(0, dpi=72)
+        assert page.mean() < 255  # some ink rendered

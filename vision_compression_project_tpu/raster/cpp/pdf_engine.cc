@@ -608,6 +608,51 @@ class Document {
         }
         if (hi >= 0) out += static_cast<char>(hi * 16);
         cur = out;
+      } else if (f == "ASCII85Decode" || f == "A85") {
+        std::string out;
+        uint32_t tup = 0;
+        int cnt = 0;
+        size_t i = 0;
+        if (cur.size() >= 2 && cur[0] == '<' && cur[1] == '~') i = 2;
+        for (; i < cur.size(); i++) {
+          char c = cur[i];
+          if (c == '~') break;  // ~> EOD
+          if (isspace(static_cast<unsigned char>(c))) continue;
+          if (c == 'z' && cnt == 0) {
+            out.append(4, '\0');
+            continue;
+          }
+          if (c < '!' || c > 'u') return "";
+          tup = tup * 85 + (c - '!');
+          if (++cnt == 5) {
+            for (int k = 3; k >= 0; k--) out += static_cast<char>((tup >> (8 * k)) & 0xFF);
+            tup = 0;
+            cnt = 0;
+          }
+        }
+        if (cnt) {  // partial group: pad with 'u', emit cnt-1 bytes
+          for (int k = cnt; k < 5; k++) tup = tup * 85 + 84;
+          for (int k = 3; k >= 5 - cnt; k--)
+            out += static_cast<char>((tup >> (8 * k)) & 0xFF);
+        }
+        cur = out;
+      } else if (f == "RunLengthDecode" || f == "RL") {
+        std::string out;
+        size_t i = 0;
+        while (i < cur.size()) {
+          unsigned char len = static_cast<unsigned char>(cur[i++]);
+          if (len == 128) break;  // EOD
+          if (len < 128) {
+            size_t n = len + 1;
+            if (i + n > cur.size()) break;
+            out.append(cur, i, n);
+            i += n;
+          } else {
+            if (i >= cur.size()) break;
+            out.append(257 - len, cur[i++]);
+          }
+        }
+        cur = out;
       } else {
         return "";  // unsupported filter (DCT etc.): give up on this stream
       }
