@@ -177,3 +177,45 @@ def test_decode_array_inverts_gray(tmp_path):
     with PdfDocument(pdf2) as doc:
         page2 = doc.render_page(0, dpi=72)
     assert page2.mean() < 40, page2.mean()
+
+
+def test_ccitt_g3_1d_image_renders(tmp_path):
+    """Group 3 1-D (K=0, MH runs + EOLs): strip bytes from PIL's group3
+    TIFF encoder embedded as a CCITTFaxDecode K=0 image."""
+    from PIL import Image
+
+    img = np.zeros((40, 64), np.uint8)
+    img[10:30, 16:48] = 255
+    tiff = tmp_path / "g3.tiff"
+    Image.fromarray(img).convert("1").save(tiff, compression="group3")
+    t = Image.open(tiff)
+    off, cnt = t.tag_v2[273][0], t.tag_v2[279][0]
+    strip = tiff.read_bytes()[off : off + cnt]
+
+    imgobj = (
+        b"<< /Type /XObject /Subtype /Image /Width 64 /Height 40"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+        b" /Filter /CCITTFaxDecode /DecodeParms << /K 0 /Columns 64"
+        b" /Rows 40 /BlackIs1 true >> /Length "
+        + str(len(strip)).encode() + b" >>\nstream\n" + strip + b"\nendstream"
+    )
+    content = b"q 128 0 0 80 0 0 cm /Im1 Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 128 80]"
+        b" /Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>",
+        imgobj,
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    from tests.test_raster_shading import _pdf
+
+    pdf = _pdf(tmp_path / "g3.pdf", objs)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    inner = page[int(h * 0.35) : int(h * 0.6), int(w * 0.35) : int(w * 0.6)]
+    corner = page[: int(h * 0.15), : int(w * 0.15)]
+    assert inner.mean() > 200, inner.mean()
+    assert corner.mean() < 60, corner.mean()
