@@ -195,3 +195,38 @@ def test_ascii85_and_runlength_filters(tmp_path):
             assert "Filter Test 85" in doc.extract_text(0), name
             page = doc.render_page(0, dpi=72)
         assert page.mean() < 255  # some ink rendered
+
+
+def test_sampled_function_shading(tmp_path):
+    """Type-0 (sampled) function: an 8-bit RGB ramp red -> green driven by
+    a 5-sample stream with linear interpolation."""
+    samples = bytes(
+        b for i in range(5)
+        for b in (255 - i * 63 if i < 4 else 3, i * 63 if i < 4 else 252, 0)
+    )
+    fn = (
+        b"<< /FunctionType 0 /Domain [0 1] /Range [0 1 0 1 0 1]"
+        b" /Size [5] /BitsPerSample 8 /Length "
+        + str(len(samples)).encode() + b" >>\nstream\n" + samples
+        + b"\nendstream"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Resources << /Shading << /Sh0 4 0 R >> >> /Contents 6 0 R >>",
+        b"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 160 0]"
+        b" /Extend [true true] /Function 5 0 R >>",
+        fn,
+        b"<< /Length 30 >>\nstream\nq 0 0 160 120 re W n /Sh0 sh Q\nendstream",
+    ]
+    pdf = _pdf(tmp_path / "sampled.pdf", objs)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    left = page[h // 2, w // 16]
+    right = page[h // 2, -w // 16]
+    mid = page[h // 2, w // 2]
+    assert left[0] > 180 and left[1] < 80, left       # red end
+    assert right[1] > 180 and right[0] < 80, right    # green end
+    assert 80 < mid[0] < 190 and 60 < mid[1] < 190, mid  # interpolated

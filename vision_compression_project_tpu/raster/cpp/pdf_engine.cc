@@ -443,9 +443,25 @@ struct FuncDef {
   double n = 1;
   std::vector<FuncDef> subs;
   std::vector<double> bounds, encode;
+  // type 0 (sampled): 1-D input, linear interpolation over `size` samples
+  // of n_out components, decoded to [0,1] from bps-bit integers.
+  std::vector<double> samples;  // size * n_out, already scaled to Range
+  int size = 0, n_out = 0;
 
   void eval(double t, std::vector<double>* out) const {
     t = std::max(domain[0], std::min(domain[1], t));
+    if (type == 0 && size > 0 && n_out > 0) {
+      double u = (t - domain[0]) / (domain[1] - domain[0] + 1e-12);
+      double pos = u * (size - 1);
+      int i0 = static_cast<int>(pos);
+      int i1 = std::min(i0 + 1, size - 1);
+      double frac = pos - i0;
+      out->resize(n_out);
+      for (int c = 0; c < n_out; c++)
+        (*out)[c] = samples[static_cast<size_t>(i0) * n_out + c] * (1 - frac) +
+                    samples[static_cast<size_t>(i1) * n_out + c] * frac;
+      return;
+    }
     if (type == 2) {
       double tn = pow(t, n);
       out->resize(std::max(c0.size(), c1.size()));
@@ -1090,7 +1106,39 @@ class Document {
         for (auto& e : enc->arr) out->encode.push_back(resolve(e)->as_num(0));
       return true;
     }
-    return false;  // sampled (0) / PostScript (4) functions: skip shading
+    if (out->type == 0 && fobj->is(Obj::kStream)) {
+      // Sampled function: 1-D input (what shadings use), linear interp.
+      ObjPtr sz = resolve(get(fobj, "Size"));
+      if (!sz->is(Obj::kArray) || sz->arr.size() != 1) return false;
+      out->size = static_cast<int>(resolve(sz->arr[0])->as_num(0));
+      int bps = static_cast<int>(
+          resolve(get(fobj, "BitsPerSample"))->as_num(8));
+      ObjPtr range = resolve(get(fobj, "Range"));
+      if (!range->is(Obj::kArray) || range->arr.empty()) return false;
+      out->n_out = static_cast<int>(range->arr.size() / 2);
+      if (out->size <= 0 || out->n_out <= 0 ||
+          (bps != 8 && bps != 16 && bps != 1 && bps != 2 && bps != 4))
+        return false;
+      std::string data = decode_stream(fobj);
+      long need_bits =
+          static_cast<long>(out->size) * out->n_out * bps;
+      if (static_cast<long>(data.size()) * 8 < need_bits) return false;
+      const unsigned char* d8 =
+          reinterpret_cast<const unsigned char*>(data.data());
+      double maxv = (1L << bps) - 1;
+      out->samples.resize(static_cast<size_t>(out->size) * out->n_out);
+      for (long i = 0; i < static_cast<long>(out->samples.size()); i++) {
+        long bit = i * bps;
+        long v = 0;
+        for (int b = 0; b < bps; b++)
+          v = (v << 1) | ((d8[(bit + b) / 8] >> (7 - (bit + b) % 8)) & 1);
+        double r0 = resolve(range->arr[2 * (i % out->n_out)])->as_num(0);
+        double r1 = resolve(range->arr[2 * (i % out->n_out) + 1])->as_num(1);
+        out->samples[i] = r0 + (v / maxv) * (r1 - r0);
+      }
+      return true;
+    }
+    return false;  // PostScript (type 4) functions: skip shading
   }
 
   void load_shadings(const ObjPtr& resources, PageData* pd) {
