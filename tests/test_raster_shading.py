@@ -230,3 +230,44 @@ def test_sampled_function_shading(tmp_path):
     assert left[0] > 180 and left[1] < 80, left       # red end
     assert right[1] > 180 and right[0] < 80, right    # green end
     assert 80 < mid[0] < 190 and 60 < mid[1] < 190, mid  # interpolated
+
+
+def test_lzw_filter_against_pil_encoder(tmp_path):
+    """LZWDecode: strip bytes from PIL's tiff_lzw encoder embedded as an
+    LZW image stream must decode back to the exact source pixels."""
+    from PIL import Image
+
+    src = (np.arange(64 * 48).reshape(48, 64) % 251).astype(np.uint8)
+    tiff = tmp_path / "lzw.tiff"
+    Image.fromarray(src).save(tiff, compression="tiff_lzw")
+    t = Image.open(tiff)
+    offs, cnts = t.tag_v2[273], t.tag_v2[279]
+    raw = tiff.read_bytes()
+    strip = b"".join(raw[o : o + c] for o, c in zip(offs, cnts))
+
+    imgobj = (
+        b"<< /Type /XObject /Subtype /Image /Width 64 /Height 48"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /LZWDecode"
+        b" /Length " + str(len(strip)).encode() + b" >>\nstream\n"
+        + strip + b"\nendstream"
+    )
+    content = b"q 128 0 0 96 0 0 cm /Im1 Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 128 96]"
+        b" /Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>",
+        imgobj,
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    pdf = _pdf(tmp_path / "lzw.pdf", objs)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    # 2x upscale of the 64x48 gray source; downsample and compare a band.
+    down = page[::2, ::2, 0].astype(int)
+    band_got = down[10:20, 10:54]
+    band_src = src[10:20, 10:54].astype(int)
+    assert np.abs(band_got - band_src).mean() < 4, (
+        band_got[0, :6], band_src[0, :6]
+    )

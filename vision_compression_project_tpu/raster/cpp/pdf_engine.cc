@@ -346,6 +346,63 @@ class Lexer {
 // Flate
 // ---------------------------------------------------------------------------
 
+// LZWDecode (TIFF-convention LZW with EarlyChange=1 default): variable
+// 9..12-bit codes MSB-first, clear=256, EOD=257.
+static bool lzw_decode(const std::string& in, std::string* out,
+                       int early_change = 1) {
+  const int kClear = 256, kEod = 257;
+  std::vector<std::string> table;
+  auto reset = [&]() {
+    table.clear();
+    table.reserve(4096);
+    for (int i = 0; i < 256; i++) table.push_back(std::string(1, char(i)));
+    table.push_back("");  // 256 clear
+    table.push_back("");  // 257 eod
+  };
+  reset();
+  int width = 9;
+  uint32_t buf = 0;
+  int bits = 0;
+  std::string prev;
+  out->clear();
+  for (size_t i = 0; i <= in.size(); i++) {
+    if (i < in.size()) {
+      buf = (buf << 8) | static_cast<unsigned char>(in[i]);
+      bits += 8;
+    } else if (bits < width) {
+      break;
+    }
+    while (bits >= width) {
+      int code = (buf >> (bits - width)) & ((1 << width) - 1);
+      bits -= width;
+      if (code == kEod) return true;
+      if (code == kClear) {
+        reset();
+        width = 9;
+        prev.clear();
+        continue;
+      }
+      std::string entry;
+      if (code < static_cast<int>(table.size()) && code != kClear &&
+          code != kEod) {
+        entry = table[code];
+      } else if (code == static_cast<int>(table.size()) && !prev.empty()) {
+        entry = prev + prev[0];
+      } else {
+        return false;
+      }
+      out->append(entry);
+      if (!prev.empty() && table.size() < 4096)
+        table.push_back(prev + entry[0]);
+      prev = entry;
+      if (static_cast<int>(table.size()) + early_change >= (1 << width) &&
+          width < 12)
+        width++;
+    }
+  }
+  return true;
+}
+
 static bool inflate_bytes(const std::string& in, std::string* out) {
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
@@ -652,6 +709,28 @@ class Document {
             out += static_cast<char>((tup >> (8 * k)) & 0xFF);
         }
         cur = out;
+      } else if (f == "LZWDecode" || f == "LZW") {
+        std::string out;
+        int early = 1;
+        ObjPtr parms = resolve(get(s, "DecodeParms"));
+        if (parms->is(Obj::kDict))
+          early = static_cast<int>(
+              resolve(get(parms, "EarlyChange"))->as_num(1));
+        if (!lzw_decode(cur, &out, early)) return "";
+        cur = out;
+        if (parms->is(Obj::kDict)) {
+          int pred = static_cast<int>(
+              resolve(get(parms, "Predictor"))->as_num(1));
+          if (pred >= 10) {
+            int cols = static_cast<int>(
+                resolve(get(parms, "Columns"))->as_num(1));
+            int colors = static_cast<int>(
+                resolve(get(parms, "Colors"))->as_num(1));
+            int pbpc = static_cast<int>(
+                resolve(get(parms, "BitsPerComponent"))->as_num(8));
+            apply_png_predictor(&cur, cols, colors, pbpc);
+          }
+        }
       } else if (f == "RunLengthDecode" || f == "RL") {
         std::string out;
         size_t i = 0;
