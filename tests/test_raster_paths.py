@@ -1,0 +1,101 @@
+"""Vector path fills (m/l/c/h + f/f*): figure patches — previously only
+`re` rect fills rendered, so charts/diagrams were invisible."""
+
+import numpy as np
+import pytest
+
+from vision_compression_project_tpu.raster import PdfDocument
+
+from tests.test_raster_shading import _pdf
+
+
+def _content_pdf(path, content):
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    return _pdf(path, objs)
+
+
+def test_triangle_fill(tmp_path):
+    pdf = _content_pdf(
+        tmp_path / "tri.pdf", b"0 g 20 20 m 140 20 l 80 100 l h f"
+    )
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    assert gray[int(h * 0.7), w // 2] < 40    # inside near the base
+    assert gray[int(h * 0.25), w // 2] < 40   # inside near the apex
+    assert gray[int(h * 0.25), int(w * 0.12)] > 230  # outside left of apex
+    assert gray[2, 2] > 230
+
+
+def test_bezier_disc_fill(tmp_path):
+    # Circle of radius 40 at (80,60) from four cubic arcs (k = 0.5523 * r).
+    k = b"22.09"
+    content = (
+        b"0 g 120 60 m "
+        b"120 82.09 102.09 100 80 100 c "
+        b"57.91 100 40 82.09 40 60 c "
+        b"40 37.91 57.91 20 80 20 c "
+        b"102.09 20 120 37.91 120 60 c h f"
+    )
+    pdf = _content_pdf(tmp_path / "disc.pdf", content)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    assert gray[h // 2, w // 2] < 40                # center filled
+    assert gray[h // 2, int(w * 0.9)] > 230         # outside right
+    assert gray[int(h * 0.08), w // 2] > 230        # outside top
+    # circular-ish: the corner of the bounding box is outside the disc
+    assert gray[int(h * 0.22), int(w * 0.30)] > 200
+
+
+def test_even_odd_ring(tmp_path):
+    """f*: outer square + inner square -> even-odd leaves a hole."""
+    content = (
+        b"0 g 30 20 m 130 20 l 130 100 l 30 100 l h "
+        b"60 45 m 100 45 l 100 75 l 60 75 l h f*"
+    )
+    pdf = _content_pdf(tmp_path / "ring.pdf", content)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    assert gray[h // 2, w // 2] > 230       # hole
+    assert gray[h // 2, int(w * 0.27)] < 40  # ring body
+    assert gray[int(h * 0.9), w // 2] > 230  # outside
+
+
+def test_matplotlib_bar_chart_renders(tmp_path):
+    """Independent producer: a matplotlib bar chart's patches are path
+    fills; the page must show real ink where the bars are."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(4, 3))
+    ax = fig.add_axes([0.1, 0.1, 0.85, 0.85])
+    ax.bar([0, 1, 2], [3, 1, 2], color="black")
+    ax.axis("off")
+    pdf = tmp_path / "bars.pdf"
+    fig.savefig(pdf)
+    plt.close(fig)
+    with PdfDocument(pdf) as doc:
+        assert doc.page_complexity(0) != 0  # figures -> pixel transport
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    ink = (gray < 100).mean()
+    assert ink > 0.15, ink  # bars cover a real fraction of the page
+    # The tall first bar is dark high up; the gap between bars is light.
+    col_bar0 = int(w * 0.22)
+    col_gap = int(w * 0.38)
+    assert gray[int(h * 0.35), col_bar0] < 60
+    assert gray[int(h * 0.35), col_gap] > 180

@@ -1431,17 +1431,31 @@ struct Mat {
 struct Rect {
   double x, y, w, h;   // device space (pts, PDF origin bottom-left)
   double gray;         // 0 = black fill
+  int seq = 0;         // content order (paint passes must respect it)
 };
 
 struct ImagePlacement {
   const ImageXObject* img;
   Mat ctm;  // maps the image's unit square to user space (pts)
+  int seq = 0;
+};
+
+// General vector path fill (m/l/c/v/y/h + f/f*): flattened polygon
+// subpaths in user-space pts — what figures (matplotlib patches, charts)
+// are drawn with.  Rect-only fills stay in the Rect pipeline (they also
+// feed the on-device glyph-stream renderer).
+struct FillPath {
+  std::vector<std::vector<std::pair<double, double>>> subpaths;
+  double gray = 0;
+  bool evenodd = false;
+  int seq = 0;
 };
 
 struct InterpResult {
   std::vector<PositionedRun> runs;  // y in PDF space (bottom-up)
   std::vector<Rect> rects;
   std::vector<ImagePlacement> images;
+  std::vector<FillPath> paths;
   // Synthesized rasters (sampled shadings) the placements point into.
   std::vector<std::shared_ptr<ImageXObject>> owned;
 };
@@ -1528,6 +1542,7 @@ class ContentInterp {
     Lexer lex(page.content, 0);
     std::vector<ObjPtr> stack;
     std::vector<Mat> gstack;
+    int seq = 0;  // paint order across images/paths/rects
     // Crude clip tracking (bbox of `re ... W n` idiom): bounds `sh` paints.
     double clip[4] = {0, 0, page.width_pts, page.height_pts};
     std::vector<std::array<double, 4>> clipstack;
@@ -1538,6 +1553,59 @@ class ContentInterp {
     double font_size = 12, leading = 0, char_spacing = 0, word_spacing = 0;
     double tz = 100;  // horizontal scale percent
     double gray = 0;
+    // Current vector path (m/l/c/v/y/h), flattened, in PATH space (the
+    // ctm applies at paint time because cm may not change mid-path).
+    std::vector<std::vector<std::pair<double, double>>> cur_path;
+    double cx = 0, cy = 0, startx = 0, starty = 0;  // current/start point
+
+    auto path_moveto = [&](double x, double y) {
+      cur_path.emplace_back();
+      cur_path.back().emplace_back(x, y);
+      cx = startx = x;
+      cy = starty = y;
+    };
+    auto path_lineto = [&](double x, double y) {
+      if (cur_path.empty()) path_moveto(x, y);
+      cur_path.back().emplace_back(x, y);
+      cx = x;
+      cy = y;
+    };
+    auto path_curveto = [&](double x1, double y1, double x2, double y2,
+                            double x3, double y3) {
+      if (cur_path.empty()) path_moveto(cx, cy);
+      double x0 = cx, y0 = cy;
+      const int K = 16;
+      for (int i = 1; i <= K; i++) {
+        double t = static_cast<double>(i) / K, u = 1 - t;
+        double bx = u * u * u * x0 + 3 * u * u * t * x1 +
+                    3 * u * t * t * x2 + t * t * t * x3;
+        double by = u * u * u * y0 + 3 * u * u * t * y1 +
+                    3 * u * t * t * y2 + t * t * t * y3;
+        cur_path.back().emplace_back(bx, by);
+      }
+      cx = x3;
+      cy = y3;
+    };
+    auto flush_path_fill = [&](bool evenodd) {
+      if (cur_path.empty()) return;
+      FillPath fp;
+      fp.gray = gray;
+      fp.evenodd = evenodd;
+      for (auto& sp : cur_path) {
+        if (sp.size() < 3) continue;
+        std::vector<std::pair<double, double>> dev;
+        dev.reserve(sp.size());
+        for (auto& [px, py] : sp)
+          dev.emplace_back(px * ctm.a + py * ctm.c + ctm.e,
+                           px * ctm.b + py * ctm.d + ctm.f);
+        fp.subpaths.push_back(std::move(dev));
+      }
+      if (!fp.subpaths.empty()) {
+        fp.seq = seq++;
+        res.paths.push_back(std::move(fp));
+      }
+      cur_path.clear();
+    };
 
     auto popn = [&](int n) -> std::vector<ObjPtr> {
       std::vector<ObjPtr> out;
@@ -1699,6 +1767,26 @@ class ContentInterp {
         auto a = popn(4);
         pending_rects_.push_back(
             {a[0]->as_num(), a[1]->as_num(), a[2]->as_num(), a[3]->as_num(), gray});
+      } else if (op == "m") {
+        auto a = popn(2);
+        path_moveto(a[0]->as_num(), a[1]->as_num());
+      } else if (op == "l") {
+        auto a = popn(2);
+        path_lineto(a[0]->as_num(), a[1]->as_num());
+      } else if (op == "c") {
+        auto a = popn(6);
+        path_curveto(a[0]->as_num(), a[1]->as_num(), a[2]->as_num(),
+                     a[3]->as_num(), a[4]->as_num(), a[5]->as_num());
+      } else if (op == "v") {
+        auto a = popn(4);
+        path_curveto(cx, cy, a[0]->as_num(), a[1]->as_num(), a[2]->as_num(),
+                     a[3]->as_num());
+      } else if (op == "y") {
+        auto a = popn(4);
+        path_curveto(a[0]->as_num(), a[1]->as_num(), a[2]->as_num(),
+                     a[3]->as_num(), a[2]->as_num(), a[3]->as_num());
+      } else if (op == "h") {
+        if (!cur_path.empty()) path_lineto(startx, starty);
       } else if (op == "f" || op == "F" || op == "f*" || op == "b" || op == "B") {
         if (wflag && !pending_rects_.empty()) {
           // `W` before a painting op: the path also becomes the clip.
@@ -1719,6 +1807,7 @@ class ContentInterp {
           clip[3] = std::min(clip[3], by1);
           wflag = false;
         }
+        flush_path_fill(op == "f*");
         for (auto& r : pending_rects_) {
           // Transform corners by ctm (axis-aligned approximation).
           double x0 = r.x * ctm.a + r.y * ctm.c + ctm.e;
@@ -1726,7 +1815,8 @@ class ContentInterp {
           double x1 = (r.x + r.w) * ctm.a + (r.y + r.h) * ctm.c + ctm.e;
           double y1 = (r.x + r.w) * ctm.b + (r.y + r.h) * ctm.d + ctm.f;
           res.rects.push_back({std::min(x0, x1), std::min(y0, y1),
-                               fabs(x1 - x0), fabs(y1 - y0), r.gray});
+                               fabs(x1 - x0), fabs(y1 - y0), r.gray,
+                               seq++});
         }
         pending_rects_.clear();
       } else if (op == "W" || op == "W*") {
@@ -1751,6 +1841,7 @@ class ContentInterp {
         }
         wflag = false;
         pending_rects_.clear();
+        cur_path.clear();
       } else if (op == "sh") {
         auto a = popn(1);
         auto it = page.shadings.find(a[0]->str);
@@ -1760,13 +1851,13 @@ class ContentInterp {
           res.owned.push_back(img);
           Mat place;  // unit square -> the clip rect (user-space pts)
           place.a = cw; place.d = chh; place.e = clip[0]; place.f = clip[1];
-          res.images.push_back({img.get(), place});
+          res.images.push_back({img.get(), place, seq++});
         }
       } else if (op == "Do") {
         auto a = popn(1);
         auto it = page.images.find(a[0]->str);
         if (it != page.images.end())
-          res.images.push_back({it->second.get(), ctm});
+          res.images.push_back({it->second.get(), ctm, seq++});
       } else if (op == "BI") {
         // Inline image: /key value pairs to ID, raw bytes to a delimited
         // EI.  Supported: 8-bpc gray/RGB and 1-bpc gray/ImageMask, raw or
@@ -1867,7 +1958,7 @@ class ContentInterp {
             }
           }
           res.owned.push_back(img);
-          res.images.push_back({img.get(), ctm});
+          res.images.push_back({img.get(), ctm, seq++});
         }
         stack.clear();
       } else if (op == "g" || op == "G") {
@@ -2034,8 +2125,9 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
   memset(out, 0xff, static_cast<long>(W) * H * 3);
   InterpResult ir = ContentInterp::run(page);
   double s = dpi / 72.0;
-  // Images first (they are usually backgrounds/figures under text).
-  for (auto& pl : ir.images) {
+  // Painting respects CONTENT ORDER across images/paths/rects (a figure
+  // background path must not wipe an image drawn after it); text last.
+  auto draw_image = [&](const ImagePlacement& pl) {
     const ImageXObject& im = *pl.img;
     // Full transform T: image unit square -> raster px (y down):
     //   user = ctm(unit);  px.x = user.x * s;  px.y = (Hpts - user.y) * s.
@@ -2045,7 +2137,7 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
     double e = m.e * s, f = (page.height_pts - m.f) * s;
     // Invert the 2x2 [a c; b d] for device->unit mapping.
     double det = a * d - b * c;
-    if (fabs(det) < 1e-12) continue;
+    if (fabs(det) < 1e-12) return;
     double ia = d / det, ic = -c / det, ib = -b / det, id = a / det;
     // Device bounding box of the 4 transformed corners.
     double xs[4], ys[4];
@@ -2076,8 +2168,63 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
         }
       }
     }
-  }
-  for (auto& r : ir.rects) {
+  };
+  // Vector path fills: scanline polygon fill (nonzero winding / even-odd)
+  // over the flattened subpaths, after the same device transform.
+  auto draw_path = [&](const FillPath& fp) {
+    unsigned char g = static_cast<unsigned char>(fp.gray * 255);
+    double miny = 1e18, maxy = -1e18;
+    // Pre-transform to raster px (y down).
+    std::vector<std::vector<std::pair<double, double>>> polys;
+    for (auto& sp : fp.subpaths) {
+      std::vector<std::pair<double, double>> p;
+      p.reserve(sp.size());
+      for (auto& [ux, uy] : sp) {
+        double px = ux * s, py = (page.height_pts - uy) * s;
+        p.emplace_back(px, py);
+        miny = std::min(miny, py);
+        maxy = std::max(maxy, py);
+      }
+      polys.push_back(std::move(p));
+    }
+    int y0 = std::max(0, static_cast<int>(floor(miny)));
+    int y1 = std::min(H - 1, static_cast<int>(ceil(maxy)));
+    std::vector<std::pair<double, int>> xs;  // (crossing x, winding dir)
+    for (int py = y0; py <= y1; py++) {
+      double yc = py + 0.5;
+      xs.clear();
+      for (auto& p : polys) {
+        size_t n = p.size();
+        for (size_t i = 0; i < n; i++) {
+          auto [ax, ay] = p[i];
+          auto [bx, by] = p[(i + 1) % n];
+          if ((ay <= yc && by > yc) || (by <= yc && ay > yc)) {
+            double t = (yc - ay) / (by - ay);
+            xs.emplace_back(ax + t * (bx - ax), by > ay ? 1 : -1);
+          }
+        }
+      }
+      if (xs.empty()) continue;
+      std::sort(xs.begin(), xs.end());
+      int wind = 0;
+      for (size_t i = 0; i + 1 <= xs.size(); i++) {
+        wind += fp.evenodd ? 1 : xs[i].second;
+        bool inside = fp.evenodd ? (wind % 2 != 0) : (wind != 0);
+        if (inside && i + 1 < xs.size()) {
+          int xa = std::max(0, static_cast<int>(ceil(xs[i].first - 0.5)));
+          int xb = std::min(
+              W - 1, static_cast<int>(floor(xs[i + 1].first - 0.5)));
+          unsigned char* row = out + (static_cast<long>(py) * W) * 3;
+          for (int x = xa; x <= xb; x++) {
+            row[x * 3] = g;
+            row[x * 3 + 1] = g;
+            row[x * 3 + 2] = g;
+          }
+        }
+      }
+    }
+  };
+  auto draw_rect = [&](const Rect& r) {
     int x0 = std::max(0, static_cast<int>(r.x * s));
     int y0 = std::max(0, static_cast<int>((page.height_pts - r.y - r.h) * s));
     int x1 = std::min(W, static_cast<int>((r.x + r.w) * s + 0.5));
@@ -2090,7 +2237,23 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
         row += 3;
       }
     }
+  };
+  struct DrawRef { int seq; int kind; size_t idx; };
+  std::vector<DrawRef> order;
+  for (size_t i = 0; i < ir.images.size(); i++)
+    order.push_back({ir.images[i].seq, 0, i});
+  for (size_t i = 0; i < ir.paths.size(); i++)
+    order.push_back({ir.paths[i].seq, 1, i});
+  for (size_t i = 0; i < ir.rects.size(); i++)
+    order.push_back({ir.rects[i].seq, 2, i});
+  std::sort(order.begin(), order.end(),
+            [](const DrawRef& a, const DrawRef& b) { return a.seq < b.seq; });
+  for (auto& d : order) {
+    if (d.kind == 0) draw_image(ir.images[d.idx]);
+    else if (d.kind == 1) draw_path(ir.paths[d.idx]);
+    else draw_rect(ir.rects[d.idx]);
   }
+
   for (auto& run : ir.runs) {
     double x = run.x * s;
     double y = (page.height_pts - run.y) * s;
@@ -2307,6 +2470,12 @@ int vcpr_page_complexity(void* handle, int page) {
   if (!pd.images.empty()) flags |= 1;
   for (auto& [name, f] : pd.fonts)
     if ((f.ttf && f.ttf->ok()) || (f.cff && f.cff->ok())) flags |= 2;
+  // bit 2: shadings / vector path fills (figures) — CPU-raster only.
+  if (!pd.shadings.empty()) flags |= 4;
+  if (flags == 0) {
+    vcpr::InterpResult ir = vcpr::ContentInterp::run(pd);
+    if (!ir.paths.empty()) flags |= 4;
+  }
   return flags;
 }
 
