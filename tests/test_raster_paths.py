@@ -99,3 +99,36 @@ def test_matplotlib_bar_chart_renders(tmp_path):
     col_gap = int(w * 0.38)
     assert gray[int(h * 0.35), col_bar0] < 60
     assert gray[int(h * 0.35), col_gap] > 180
+
+
+def test_stroke_line_chart(tmp_path):
+    """Strokes (S): a matplotlib LINE chart's axes and data line must leave
+    ink — previously strokes were dropped entirely."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(4, 3))
+    ax = fig.add_axes([0.12, 0.12, 0.83, 0.83])
+    ax.plot([0, 1, 2, 3], [0, 2, 1, 3], color="black", linewidth=3)
+    ax.tick_params(colors="black")
+    pdf = tmp_path / "line.pdf"
+    fig.savefig(pdf)
+    plt.close(fig)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=100)
+    gray = page.mean(axis=2)
+    ink = (gray < 100).mean()
+    assert ink > 0.005, ink  # the polyline + axes spines leave real ink
+
+
+def test_stroke_simple_segment(tmp_path):
+    pdf = _content_pdf(
+        tmp_path / "seg.pdf", b"0 g 6 w 20 60 m 140 60 l S"
+    )
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    assert gray[h // 2, w // 2] < 40           # on the line
+    assert gray[int(h * 0.2), w // 2] > 230    # off the line

@@ -1586,6 +1586,37 @@ class ContentInterp {
       cx = x3;
       cy = y3;
     };
+    double line_width = 1.0;
+    auto flush_path_stroke = [&]() {
+      // Stroke approximation: each segment becomes a filled quad of the
+      // line width (no joins/caps — charts and axes read fine without).
+      if (cur_path.empty()) return;
+      FillPath fp;
+      fp.gray = gray;
+      double scale = sqrt(fabs(ctm.a * ctm.d - ctm.b * ctm.c));
+      double hw = std::max(line_width * (scale > 1e-9 ? scale : 1.0), 0.5) / 2;
+      for (auto& sp : cur_path) {
+        for (size_t i = 0; i + 1 < sp.size(); i++) {
+          double ax = sp[i].first * ctm.a + sp[i].second * ctm.c + ctm.e;
+          double ay = sp[i].first * ctm.b + sp[i].second * ctm.d + ctm.f;
+          double bx = sp[i + 1].first * ctm.a + sp[i + 1].second * ctm.c + ctm.e;
+          double by = sp[i + 1].first * ctm.b + sp[i + 1].second * ctm.d + ctm.f;
+          double dx = bx - ax, dy = by - ay;
+          double len = sqrt(dx * dx + dy * dy);
+          if (len < 1e-9) continue;
+          double nx = -dy / len * hw, ny = dx / len * hw;
+          fp.subpaths.push_back({{ax + nx, ay + ny},
+                                 {bx + nx, by + ny},
+                                 {bx - nx, by - ny},
+                                 {ax - nx, ay - ny}});
+        }
+      }
+      if (!fp.subpaths.empty()) {
+        fp.seq = seq++;
+        res.paths.push_back(std::move(fp));
+      }
+      cur_path.clear();
+    };
     auto flush_path_fill = [&](bool evenodd) {
       if (cur_path.empty()) return;
       FillPath fp;
@@ -1807,7 +1838,16 @@ class ContentInterp {
           clip[3] = std::min(clip[3], by1);
           wflag = false;
         }
+        bool also_stroke = op == "b" || op == "B";
+        if (also_stroke && op == "b" && !cur_path.empty())
+          path_lineto(startx, starty);  // b closes before fill+stroke
+        std::vector<std::vector<std::pair<double, double>>> saved;
+        if (also_stroke) saved = cur_path;
         flush_path_fill(op == "f*");
+        if (also_stroke) {
+          cur_path = std::move(saved);
+          flush_path_stroke();
+        }
         for (auto& r : pending_rects_) {
           // Transform corners by ctm (axis-aligned approximation).
           double x0 = r.x * ctm.a + r.y * ctm.c + ctm.e;
@@ -1840,8 +1880,14 @@ class ContentInterp {
           clip[3] = std::min(clip[3], by1);
         }
         wflag = false;
+        if (op == "S" || op == "s") {
+          if (op == "s" && !cur_path.empty()) path_lineto(startx, starty);
+          flush_path_stroke();
+        }
         pending_rects_.clear();
         cur_path.clear();
+      } else if (op == "w") {
+        line_width = popn(1)[0]->as_num(1);
       } else if (op == "sh") {
         auto a = popn(1);
         auto it = page.shadings.find(a[0]->str);
