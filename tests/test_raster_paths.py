@@ -132,3 +132,43 @@ def test_stroke_simple_segment(tmp_path):
     h, w = gray.shape
     assert gray[h // 2, w // 2] < 40           # on the line
     assert gray[int(h * 0.2), w // 2] > 230    # off the line
+
+
+def test_colored_fill_and_stroke(tmp_path):
+    """rg/RG: path fills use the fill color, strokes the stroke color."""
+    pdf = _content_pdf(
+        tmp_path / "color.pdf",
+        b"1 0 0 rg 20 20 m 70 20 l 70 70 l 20 70 l h f "
+        b"0 0 1 RG 6 w 100 30 m 140 90 l S",
+    )
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    sq = page[int(h * 0.55) : int(h * 0.8), int(w * 0.15) : int(w * 0.4)]
+    sq = sq.reshape(-1, 3).mean(0)
+    assert sq[0] > 180 and sq[1] < 80 and sq[2] < 80, sq   # red square
+    ln = page[h // 2, int(w * 0.74)]
+    assert ln[2] > 150 and ln[0] < 100, ln                  # blue stroke
+
+
+def test_matplotlib_color_chart(tmp_path):
+    """Default-color matplotlib bars render with their actual hues."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(4, 3))
+    ax = fig.add_axes([0.05, 0.05, 0.9, 0.9])
+    ax.bar([0], [1], color="red", width=0.9)
+    ax.bar([1], [1], color="blue", width=0.9)
+    ax.axis("off")
+    pdf = tmp_path / "colorbars.pdf"
+    fig.savefig(pdf)
+    plt.close(fig)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    left = page[h // 2, int(w * 0.3)]
+    right = page[h // 2, int(w * 0.72)]
+    assert left[0] > 150 and left[2] < 100, left     # red bar
+    assert right[2] > 150 and right[0] < 100, right  # blue bar

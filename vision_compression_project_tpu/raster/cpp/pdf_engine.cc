@@ -1446,7 +1446,8 @@ struct ImagePlacement {
 // feed the on-device glyph-stream renderer).
 struct FillPath {
   std::vector<std::vector<std::pair<double, double>>> subpaths;
-  double gray = 0;
+  double gray = 0;        // luminance (kept for glyph-transport parity)
+  double rgb[3] = {0, 0, 0};
   bool evenodd = false;
   int seq = 0;
 };
@@ -1553,6 +1554,7 @@ class ContentInterp {
     double font_size = 12, leading = 0, char_spacing = 0, word_spacing = 0;
     double tz = 100;  // horizontal scale percent
     double gray = 0;
+    double fill_rgb[3] = {0, 0, 0}, stroke_rgb[3] = {0, 0, 0};
     // Current vector path (m/l/c/v/y/h), flattened, in PATH space (the
     // ctm applies at paint time because cm may not change mid-path).
     std::vector<std::vector<std::pair<double, double>>> cur_path;
@@ -1593,6 +1595,7 @@ class ContentInterp {
       if (cur_path.empty()) return;
       FillPath fp;
       fp.gray = gray;
+      for (int c = 0; c < 3; c++) fp.rgb[c] = stroke_rgb[c];
       double scale = sqrt(fabs(ctm.a * ctm.d - ctm.b * ctm.c));
       double hw = std::max(line_width * (scale > 1e-9 ? scale : 1.0), 0.5) / 2;
       for (auto& sp : cur_path) {
@@ -1621,6 +1624,7 @@ class ContentInterp {
       if (cur_path.empty()) return;
       FillPath fp;
       fp.gray = gray;
+      for (int c = 0; c < 3; c++) fp.rgb[c] = fill_rgb[c];
       fp.evenodd = evenodd;
       for (auto& sp : cur_path) {
         if (sp.size() < 3) continue;
@@ -2008,13 +2012,25 @@ class ContentInterp {
         }
         stack.clear();
       } else if (op == "g" || op == "G") {
-        gray = popn(1)[0]->as_num(0);
+        double v = popn(1)[0]->as_num(0);
+        double* t = op == "g" ? fill_rgb : stroke_rgb;
+        t[0] = t[1] = t[2] = v;
+        if (op == "g") gray = v;
       } else if (op == "rg" || op == "RG") {
         auto a = popn(3);
-        gray = 0.299 * a[0]->as_num() + 0.587 * a[1]->as_num() + 0.114 * a[2]->as_num();
+        double* t = op == "rg" ? fill_rgb : stroke_rgb;
+        for (int c = 0; c < 3; c++) t[c] = a[c]->as_num();
+        if (op == "rg")
+          gray = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2];
       } else if (op == "k" || op == "K") {
-        popn(4);
-        gray = 0;
+        auto a = popn(4);
+        double* t = op == "k" ? fill_rgb : stroke_rgb;
+        for (int c = 0; c < 3; c++) {
+          double v = 1.0 - a[c]->as_num() - a[3]->as_num();
+          t[c] = v < 0 ? 0 : v;
+        }
+        if (op == "k")
+          gray = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2];
       } else {
         // Unknown operator: clear operand stack (PDF operand counts vary).
         stack.clear();
@@ -2218,7 +2234,10 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
   // Vector path fills: scanline polygon fill (nonzero winding / even-odd)
   // over the flattened subpaths, after the same device transform.
   auto draw_path = [&](const FillPath& fp) {
-    unsigned char g = static_cast<unsigned char>(fp.gray * 255);
+    unsigned char col[3];
+    for (int c = 0; c < 3; c++)
+      col[c] = static_cast<unsigned char>(
+          std::max(0.0, std::min(1.0, fp.rgb[c])) * 255);
     double miny = 1e18, maxy = -1e18;
     // Pre-transform to raster px (y down).
     std::vector<std::vector<std::pair<double, double>>> polys;
@@ -2262,9 +2281,9 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
               W - 1, static_cast<int>(floor(xs[i + 1].first - 0.5)));
           unsigned char* row = out + (static_cast<long>(py) * W) * 3;
           for (int x = xa; x <= xb; x++) {
-            row[x * 3] = g;
-            row[x * 3 + 1] = g;
-            row[x * 3 + 2] = g;
+            row[x * 3] = col[0];
+            row[x * 3 + 1] = col[1];
+            row[x * 3 + 2] = col[2];
           }
         }
       }
