@@ -475,7 +475,38 @@ struct Font {
   // Embedded CFF program (FontFile3: Type1C / CIDFontType0C / OpenType).
   std::shared_ptr<CffFont> cff;
   std::shared_ptr<std::vector<uint16_t>> cid_to_gid;  // null = identity
+  // Type3: glyph procedures (decoded content streams) in glyph space,
+  // mapped to text space by font_matrix (matplotlib's DEFAULT pdf font).
+  bool type3 = false;
+  std::map<uint32_t, std::string> char_procs;  // code -> content stream
+  double font_matrix[6] = {0.001, 0, 0, 0.001, 0, 0};
 };
+
+// Minimal glyph-name -> unicode (AGL subset) for Type3 /Differences.
+inline std::string glyphname_to_unicode(const std::string& n) {
+  if (n.size() == 1) return n;
+  static const std::map<std::string, std::string> kNames = {
+      {"space", " "},   {"period", "."},  {"comma", ","},
+      {"hyphen", "-"},  {"colon", ":"},   {"semicolon", ";"},
+      {"zero", "0"},    {"one", "1"},     {"two", "2"},
+      {"three", "3"},   {"four", "4"},    {"five", "5"},
+      {"six", "6"},     {"seven", "7"},   {"eight", "8"},
+      {"nine", "9"},    {"slash", "/"},   {"parenleft", "("},
+      {"parenright", ")"}, {"quotesingle", "'"}, {"quotedbl", "\""},
+      {"exclam", "!"},  {"question", "?"}, {"percent", "%"},
+      {"plus", "+"},    {"equal", "="},   {"underscore", "_"},
+      {"ampersand", "&"}, {"at", "@"},    {"numbersign", "#"},
+      {"dollar", "$"},  {"asterisk", "*"}, {"less", "<"},
+      {"greater", ">"}, {"bracketleft", "["}, {"bracketright", "]"},
+  };
+  auto it = kNames.find(n);
+  if (it != kNames.end()) return it->second;
+  if (n.size() > 3 && n.compare(0, 3, "uni") == 0) {
+    int cp = static_cast<int>(strtol(n.c_str() + 3, nullptr, 16));
+    if (cp > 0 && cp < 128) return std::string(1, static_cast<char>(cp));
+  }
+  return "";
+}
 
 struct ImageXObject {
   int w = 0, h = 0, comps = 1;  // comps: 1 gray / 3 RGB
@@ -484,6 +515,7 @@ struct ImageXObject {
 
 struct PositionedRun {
   double x, y;        // device-space baseline origin (y: top-down AFTER flip)
+  double end_x = 0;   // baseline x after the run's full advance
   double size;        // device-space font size (pixels at raster time: pts)
   std::string text;   // unicode text
   const Font* font = nullptr;       // for embedded-outline rendering
@@ -859,12 +891,47 @@ class Document {
         font.two_byte = true;
         font.default_width = 1000;
       }
+      if (subtype->is(Obj::kName) && subtype->str == "Type3") {
+        font.type3 = true;
+        ObjPtr fm = resolve(get(f, "FontMatrix"));
+        if (fm->is(Obj::kArray) && fm->arr.size() >= 6)
+          for (int i = 0; i < 6; i++)
+            font.font_matrix[i] = resolve(fm->arr[i])->as_num(0);
+        // Encoding/Differences: code -> glyph name -> CharProcs stream.
+        std::map<uint32_t, std::string> code_names;
+        ObjPtr enc = resolve(get(f, "Encoding"));
+        ObjPtr diffs = enc->is(Obj::kDict) ? resolve(get(enc, "Differences"))
+                                           : make_null();
+        if (diffs->is(Obj::kArray)) {
+          uint32_t code = 0;
+          for (auto& e : diffs->arr) {
+            ObjPtr r = resolve(e);
+            if (r->is(Obj::kNum)) {
+              code = static_cast<uint32_t>(r->num);
+            } else if (r->is(Obj::kName)) {
+              code_names[code++] = r->str;
+            }
+          }
+        }
+        ObjPtr procs = resolve(get(f, "CharProcs"));
+        if (procs->is(Obj::kDict)) {
+          for (auto& [code, gname] : code_names) {
+            ObjPtr proc = resolve(get(procs, gname.c_str()));
+            if (proc->is(Obj::kStream))
+              font.char_procs[code] = decode_stream(proc);
+            std::string uni = glyphname_to_unicode(gname);
+            if (!uni.empty()) font.to_unicode.emplace(code, uni);
+          }
+        }
+      }
       // Simple-font widths.
       ObjPtr widths = resolve(get(f, "Widths"));
       int firstchar = static_cast<int>(resolve(get(f, "FirstChar"))->as_num(0));
+      double wscale = font.type3 ? font.font_matrix[0] * 1000.0 : 1.0;
       if (widths->is(Obj::kArray))
         for (size_t i = 0; i < widths->arr.size(); i++)
-          font.widths[firstchar + i] = resolve(widths->arr[i])->as_num(500);
+          font.widths[firstchar + i] =
+              resolve(widths->arr[i])->as_num(500) * wscale;
       // CID widths (/W) — [c [w...] | c1 c2 w] format.
       ObjPtr desc_fonts = resolve(get(f, "DescendantFonts"));
       if (desc_fonts->is(Obj::kArray) && !desc_fonts->arr.empty()) {
@@ -1690,6 +1757,7 @@ class ContentInterp {
         advance += (w / 1000.0 * font_size + char_spacing +
                     (code == 32 ? word_spacing : 0)) * (tz / 100.0);
       }
+      runr.end_x = runr.x + advance * (font_size > 0 ? size_dev / font_size : 1.0);
       if (!runr.text.empty()) res.runs.push_back(runr);
       Mat adv;
       adv.e = advance;
@@ -2060,15 +2128,22 @@ static std::string extract_text(const PageData& page) {
   std::string out;
   double last_y = 1e18;
   double line_size = 12;
+  double prev_end = -1e18;
   for (auto& r : runs) {
     if (last_y < 1e17 && last_y - r.y > line_size * 0.5) {
       // New line; big gaps become blank lines (paragraphs).
       out += (last_y - r.y > line_size * 1.8) ? "\n\n" : "\n";
     } else if (!out.empty() && out.back() != '\n' && out.back() != ' ') {
-      out += ' ';
+      // Same line: a space only when there is a real gap after the
+      // previous run's advance — producers that emit one run per kern
+      // pair (matplotlib Type3) must not read as broken words.
+      double gap = r.x - prev_end;
+      if (prev_end < -1e17 || gap > std::max(line_size, r.size) * 0.15)
+        out += ' ';
     }
     out += r.text;
     last_y = r.y;
+    prev_end = r.end_x;
     line_size = r.size > 0.1 ? r.size : line_size;
   }
   out += '\n';
@@ -2323,6 +2398,85 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
     double x = run.x * s;
     double y = (page.height_pts - run.y) * s;
     double size_px = run.size * s;
+    if (run.font && run.font->type3 &&
+        run.codes.size() == run.offsets.size()) {
+      // Type3 glyphs: run each CharProc content stream through the
+      // interpreter and rasterize its vector paths, mapped glyph space ->
+      // text space by FontMatrix, scaled by the device font size.
+      const double* fm = run.font->font_matrix;
+      for (size_t i = 0; i < run.codes.size(); i++) {
+        auto it = run.font->char_procs.find(run.codes[i]);
+        if (it == run.font->char_procs.end()) continue;
+        PageData glyph_page;
+        glyph_page.content = it->second;
+        InterpResult gi = ContentInterp::run(glyph_page);
+        double gx0 = x + run.offsets[i] * s;
+        for (auto& fp : gi.paths) {
+          FillPath dev;
+          dev.evenodd = fp.evenodd;
+          // Text ink: black (text color state is not tracked per-run).
+          for (auto& sp : fp.subpaths) {
+            std::vector<std::pair<double, double>> q;
+            q.reserve(sp.size());
+            for (auto& [gx, gy] : sp) {
+              double tx = fm[0] * gx + fm[2] * gy + fm[4];
+              double ty = fm[1] * gx + fm[3] * gy + fm[5];
+              // device px (y down): size_px scales text space
+              q.emplace_back(gx0 + tx * size_px, y - ty * size_px);
+            }
+            dev.subpaths.push_back(std::move(q));
+          }
+          if (dev.subpaths.empty()) continue;
+          // Scanline fill in device px (reuse the path filler inline).
+          double miny = 1e18, maxy = -1e18;
+          for (auto& sp : dev.subpaths)
+            for (auto& [px, py] : sp) {
+              miny = std::min(miny, py);
+              maxy = std::max(maxy, py);
+            }
+          int yy0 = std::max(0, static_cast<int>(floor(miny)));
+          int yy1 = std::min(H - 1, static_cast<int>(ceil(maxy)));
+          std::vector<std::pair<double, int>> xs;
+          for (int py = yy0; py <= yy1; py++) {
+            double yc = py + 0.5;
+            xs.clear();
+            for (auto& sp : dev.subpaths) {
+              size_t n = sp.size();
+              for (size_t k = 0; k < n; k++) {
+                auto [ax, ay] = sp[k];
+                auto [bx, by] = sp[(k + 1) % n];
+                if ((ay <= yc && by > yc) || (by <= yc && ay > yc)) {
+                  double t = (yc - ay) / (by - ay);
+                  xs.emplace_back(ax + t * (bx - ax), by > ay ? 1 : -1);
+                }
+              }
+            }
+            if (xs.empty()) continue;
+            std::sort(xs.begin(), xs.end());
+            int wind = 0;
+            for (size_t k = 0; k + 1 <= xs.size(); k++) {
+              wind += dev.evenodd ? 1 : xs[k].second;
+              bool inside =
+                  dev.evenodd ? (wind % 2 != 0) : (wind != 0);
+              if (inside && k + 1 < xs.size()) {
+                int xa = std::max(
+                    0, static_cast<int>(ceil(xs[k].first - 0.5)));
+                int xb = std::min(
+                    W - 1,
+                    static_cast<int>(floor(xs[k + 1].first - 0.5)));
+                unsigned char* row = out + (static_cast<long>(py) * W) * 3;
+                for (int xq = xa; xq <= xb; xq++) {
+                  row[xq * 3] = 0;
+                  row[xq * 3 + 1] = 0;
+                  row[xq * 3 + 2] = 0;
+                }
+              }
+            }
+          }
+        }
+      }
+      continue;
+    }
     if (run.font && run.font->cff && run.font->cff->ok() &&
         run.codes.size() == run.offsets.size()) {
       // Real outlines from the embedded CFF (Type2 charstring) program.
@@ -2534,7 +2688,8 @@ int vcpr_page_complexity(void* handle, int page) {
   int flags = 0;
   if (!pd.images.empty()) flags |= 1;
   for (auto& [name, f] : pd.fonts)
-    if ((f.ttf && f.ttf->ok()) || (f.cff && f.cff->ok())) flags |= 2;
+    if ((f.ttf && f.ttf->ok()) || (f.cff && f.cff->ok()) || f.type3)
+      flags |= 2;
   // bit 2: shadings / vector path fills (figures) — CPU-raster only.
   if (!pd.shadings.empty()) flags |= 4;
   if (flags == 0) {
