@@ -55,6 +55,17 @@ def main() -> None:
     repo = Path(__file__).resolve().parent
     sys.path.insert(0, str(repo))
 
+    # Platform override must land before any backend initializes: boot
+    # hooks pin the hardware plugin first, and probing a dead tunnel hangs
+    # instead of falling through (same guard as scripts/_bootstrap.py).
+    if os.environ.get("VCP_PLATFORM") or os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update(
+            "jax_platforms",
+            os.environ.get("VCP_PLATFORM") or os.environ["JAX_PLATFORMS"],
+        )
+
     import numpy as np
 
     from vision_compression_project_tpu.config import (
@@ -128,6 +139,19 @@ def main() -> None:
     run_all(tmp / "warmup", end=BATCH)
     elapsed = run_all(tmp / "timed")
 
+    # Auxiliary: the TEXT engine (production path for text-layer PDFs —
+    # C++ parse + extract, exact output, no model).  Reported alongside,
+    # never as the headline: the headline is the optical path.
+    t0 = time.perf_counter()
+    stats_text = extract.extract_pdf_to_page_jsons(
+        pdf, tmp / "text", images_dir=None, dpi=dpi, engine="text",
+        batch_size=BATCH, save_images=False,
+    )
+    text_pages_per_sec = (
+        len(stats_text["processed_pages"]) / (time.perf_counter() - t0)
+        if stats_text["processed_pages"] else 0.0
+    )
+
     # Quality + honesty fields computed from the SAME pages that were timed.
     tok = runner.tok
     out_tokens, similarities = [], []
@@ -158,6 +182,7 @@ def main() -> None:
                 "decode_budget_tokens": max_new,
                 "mean_output_tokens": round(float(np.mean(out_tokens)), 1),
                 "trained_checkpoint": trained,
+                "text_engine_pages_per_sec": round(text_pages_per_sec, 1),
                 "preset": preset,
                 "data": data_kind,
                 "page_render": {"lines": lines, "font_size": font_size, "dpi": dpi},

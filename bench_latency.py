@@ -24,6 +24,17 @@ def main() -> None:
     repo = Path(__file__).resolve().parent
     sys.path.insert(0, str(repo))
 
+    import os
+
+    # Same platform guard as bench.py: don't hang probing a dead tunnel.
+    if os.environ.get("VCP_PLATFORM") or os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update(
+            "jax_platforms",
+            os.environ.get("VCP_PLATFORM") or os.environ["JAX_PLATFORMS"],
+        )
+
     from vision_compression_project_tpu.index import IndexStore
     from vision_compression_project_tpu.models import EmbedderConfig, HashNGramEmbedder
     from vision_compression_project_tpu.pipeline import extract, ingest, qa
