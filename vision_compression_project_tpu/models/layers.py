@@ -161,8 +161,9 @@ class Attention(nn.Module):
         the framework's SP/long-context mechanism, engaged from inside the
         model forward rather than as a standalone op.  Returns None (caller
         falls back to the single-shard kernels) when no seq sharding is
-        active, the length doesn't divide, a kv_len mask is needed, or
-        we're already inside a manual (shard_map) region (the PP runner)."""
+        active, the length doesn't divide, or we're already inside a
+        manual (shard_map) region (the PP runner).  Ragged kv_len masks
+        ride the ring as per-example lengths."""
         if getattr(_plain_mode, "on", False):
             return None
         from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, AXIS_SEQ
@@ -172,7 +173,7 @@ class Attention(nn.Module):
         if mesh is None or AXIS_SEQ not in mesh.shape:
             return None
         n = mesh.shape[AXIS_SEQ]
-        if n <= 1 or kv_len is not None or q.shape[2] % n != 0:
+        if n <= 1 or q.shape[2] % n != 0:
             return None
         from ..ops.ring_attention import ring_attention
 
@@ -189,6 +190,7 @@ class Attention(nn.Module):
             causal=self.causal,
             batch_axis=AXIS_DATA if data > 1 and b % data == 0 else None,
             head_axis=AXIS_MODEL if model > 1 and h % model == 0 else None,
+            kv_len=kv_len,  # ragged batches ride the ring too (round 3)
         )
 
     def __call__(

@@ -27,16 +27,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 NEG_INF = -1e30
 
 
-def _local_attn_update(q, k, v, m, l, acc, q_offset, k_offset, causal, scale):
-    """One online-softmax update of (m, l, acc) with a k/v shard."""
+def _local_attn_update(q, k, v, m, l, acc, q_offset, k_offset, causal, scale,
+                       kv_len=None):
+    """One online-softmax update of (m, l, acc) with a k/v shard.
+    kv_len: optional (B,) valid key lengths (ragged batches)."""
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
     ) * scale
+    sq, sk = q.shape[2], k.shape[2]
+    q_idx = q_offset + jnp.arange(sq)[None, None, :, None]
+    k_idx = k_offset + jnp.arange(sk)[None, None, None, :]
     if causal:
-        sq, sk = q.shape[2], k.shape[2]
-        q_idx = q_offset + jnp.arange(sq)[None, None, :, None]
-        k_idx = k_offset + jnp.arange(sk)[None, None, None, :]
         s = jnp.where(k_idx <= q_idx, s, NEG_INF)
+    if kv_len is not None:
+        s = jnp.where(k_idx < kv_len[:, None, None, None], s, NEG_INF)
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
     corr = jnp.exp(m - m_new)
@@ -57,6 +61,7 @@ def ring_attention(
     scale: Optional[float] = None,
     batch_axis: Optional[str] = None,
     head_axis: Optional[str] = None,
+    kv_len: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Attention over (B, H, S, D) with S sharded over `axis_name`.
 
@@ -72,7 +77,7 @@ def ring_attention(
     if scale is None:
         scale = d ** -0.5
 
-    def ring_fn(q_shard, k_shard, v_shard):
+    def ring_fn(q_shard, k_shard, v_shard, kv_len_shard):
         # q_shard: (B, H, S/n, D) — this chip's query block.
         idx = jax.lax.axis_index(axis_name)
         chunk = q_shard.shape[2]
@@ -88,7 +93,7 @@ def ring_attention(
             k_offset = src * chunk
             m, l, acc = _local_attn_update(
                 q_shard, k_cur, v_cur, m, l, acc, q_offset, k_offset,
-                causal, scale,
+                causal, scale, kv_len=kv_len_shard,
             )
             # Rotate: send current k/v to the next chip in the ring.
             perm = [(j, (j + 1) % n) for j in range(n)]
@@ -105,15 +110,21 @@ def ring_attention(
         assert b % mesh.shape[batch_axis] == 0, (b, batch_axis)
     if head_axis is not None:
         assert h % mesh.shape[head_axis] == 0, (h, head_axis)
+    # Ragged masking rides as (B,) lengths, replicated over seq/heads and
+    # co-sharded with the batch axis; a full-length vector keeps one code
+    # path when no mask was given.
+    if kv_len is None:
+        kv_len = jnp.full((b,), s, jnp.int32)
     spec = P(batch_axis, head_axis, axis_name, None)
+    len_spec = P(batch_axis)
     fn = shard_map(
         ring_fn,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, len_spec),
         out_specs=spec,
         check_vma=False,
     )
-    return fn(q, k, v)
+    return fn(q, k, v, kv_len.astype(jnp.int32))
 
 
 def ring_attention_sharded_inputs(mesh: Mesh, q, k, v, **kwargs):
