@@ -207,6 +207,28 @@ def real_page_text(
     idx = start
     while len(out_lines) < lines:
         budget = lines - len(out_lines)
+        # Numeric sentences: the harvested prose is digit-poor (the
+        # sentence filter wants 80% alpha) but real documents are full of
+        # dates/figures/percentages — inject them so OCR training covers
+        # digits, units and punctuation around numbers.
+        if rng.random() < 0.12:
+            templates = (
+                "The value reached {a}.{b} percent in {year}.",
+                "Table {n} lists {a} of the {c} measured cases.",
+                "Results improved from {a}.{b} to {c}.{d} after {n} runs.",
+                "Section {n}.{m} reports {a},{b}{d} samples total.",
+            )
+            t = str(rng.choice(templates))
+            sent = t.format(
+                a=int(rng.integers(1, 100)), b=int(rng.integers(0, 10)),
+                c=int(rng.integers(1, 100)), d=int(rng.integers(0, 10)),
+                n=int(rng.integers(1, 10)), m=int(rng.integers(1, 10)),
+                year=int(rng.integers(1990, 2027)),
+            )
+            out_lines.extend(_wrap(sent.split(), width)[:budget])
+            if len(out_lines) < lines - 1 and rng.random() < 0.3:
+                out_lines.append("")
+            continue
         is_bullets = budget >= 3 and rng.random() < 0.15
         if is_bullets:
             for _ in range(int(rng.integers(2, min(5, budget) + 1))):
