@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Unattended OCR training curriculum driver.
+
+Runs the real-language curriculum end-to-end without babysitting: each
+stage trains (scripts/train_vlm.py as a subprocess, so compile caches and
+crashes are isolated), evaluates extraction similarity at the stage's own
+render (scripts/eval_extract.py), and then either ADVANCES (eval >=
+--advance_at), EXTENDS the stage (loss still moving, budget left), or
+aborts the run with a clear status.  Ships the final checkpoint via
+scripts/ship_checkpoint.py when the last stage clears --ship_at.
+
+State lives in <out>/curriculum.json after every step, so a crashed or
+interrupted run resumes exactly where it stopped (--resume).  This is the
+round-4 playbook from docs/ROUND3_STATUS.md as ONE command:
+
+  python scripts/run_curriculum.py --out checkpoints/r4 \
+      --init_from checkpoints/r3/hopA --budget_hours 8
+
+The default stages implement the font-size curriculum (memory/recipe:
+glyph px after resize ~ 1.29 x font_pt at the 1024px preset; hops shrink
+the font by <= ~2x per stage):
+  hopA  font 48 / lines 6  / dpi 93  (resume of round 3's interrupted hop)
+  hopB  font 24 / lines 14 / dpi 93
+  hopC  font 12 / lines 30 / dpi 150 (the VERDICT target render)
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import _bootstrap  # noqa: F401
+
+REPO = Path(__file__).resolve().parent.parent
+
+DEFAULT_STAGES = [
+    {"name": "hopA", "font_size": 48, "lines": 6, "dpi": 93,
+     "steps": 2500, "max_steps": 7500, "lr": 1.5e-3, "text_len": 1023},
+    {"name": "hopB", "font_size": 24, "lines": 14, "dpi": 93,
+     "steps": 3000, "max_steps": 9000, "lr": 1.2e-3, "text_len": 1023},
+    {"name": "hopC", "font_size": 12, "lines": 30, "dpi": 150,
+     "steps": 3000, "max_steps": 9000, "lr": 1.0e-3, "text_len": 1023},
+]
+
+
+def _run(cmd, log_path, dry):
+    print("+", " ".join(map(str, cmd)), flush=True)
+    if dry:
+        return 0
+    with open(log_path, "ab") as log:
+        proc = subprocess.run(
+            [sys.executable, *map(str, cmd)], cwd=REPO, stdout=log,
+            stderr=subprocess.STDOUT,
+        )
+    return proc.returncode
+
+
+def _eval_similarity(preset, ckpt_dir, stage, pages, dry):
+    if dry:
+        return 1.0
+    out = Path(ckpt_dir) / "eval.json"
+    rc = _run(
+        ["scripts/eval_extract.py", "--preset", preset, "--ckpt_dir",
+         ckpt_dir, "--data", "real", "--pages", pages,
+         "--font_size", stage["font_size"], "--lines", stage["lines"],
+         "--dpi", stage["dpi"], "--json_out", out],
+        Path(ckpt_dir) / "eval.log", dry,
+    )
+    if rc != 0 or not out.exists():
+        return -1.0
+    return json.loads(out.read_text()).get("markdown_similarity_mean", -1.0)
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--preset", default="ocr_real")
+    parser.add_argument("--out", default="checkpoints/curriculum")
+    parser.add_argument("--init_from", default=None,
+                        help="warm-start for the FIRST stage")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--advance_at", type=float, default=0.8,
+                        help="stage eval similarity needed to advance")
+    parser.add_argument("--ship_at", type=float, default=0.8,
+                        help="final-stage similarity needed to ship")
+    parser.add_argument("--eval_pages", type=int, default=12)
+    parser.add_argument("--budget_hours", type=float, default=10.0)
+    parser.add_argument("--seed", type=int, default=12)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from <out>/curriculum.json")
+    parser.add_argument("--dry_run", action="store_true",
+                        help="print the command plan without training")
+    args = parser.parse_args()
+
+    out_root = Path(args.out).resolve()
+    out_root.mkdir(parents=True, exist_ok=True)
+    state_file = out_root / "curriculum.json"
+    state = {"stage": 0, "extension": 0, "init_from": args.init_from,
+             "history": []}
+    if args.resume and state_file.exists():
+        state = json.loads(state_file.read_text())
+        print(f"resuming: stage {state['stage']} ext {state['extension']}")
+
+    deadline = time.time() + args.budget_hours * 3600
+
+    def save():
+        state_file.write_text(json.dumps(state, indent=1))
+
+    while state["stage"] < len(DEFAULT_STAGES):
+        stage = DEFAULT_STAGES[state["stage"]]
+        ext = state["extension"]
+        ckpt_dir = out_root / f"{stage['name']}_e{ext}"
+        steps = stage["steps"]
+        if time.time() > deadline:
+            state["status"] = "out_of_budget"
+            save()
+            print("BUDGET EXHAUSTED before", stage["name"])
+            return
+        cmd = [
+            "scripts/train_vlm.py", "--preset", args.preset,
+            "--data", "real", "--steps", steps, "--batch", args.batch,
+            "--lr", stage["lr"], "--font_size", stage["font_size"],
+            "--lines", stage["lines"], "--dpi", stage["dpi"],
+            "--text_len", stage["text_len"],
+            "--seed", args.seed + state["stage"] * 101 + ext,
+            "--ckpt_dir", ckpt_dir, "--ckpt_every", 500,
+            "--log_every", 50,
+        ]
+        if state["init_from"]:
+            cmd += ["--init_from", state["init_from"]]
+        rc = _run(cmd, out_root / f"{stage['name']}_e{ext}.log", args.dry_run)
+        if rc != 0:
+            state["status"] = f"train_failed:{stage['name']}_e{ext}"
+            save()
+            print("TRAIN FAILED", stage["name"], "rc", rc)
+            return
+        sim = _eval_similarity(
+            args.preset, str(ckpt_dir), stage, args.eval_pages, args.dry_run
+        )
+        state["history"].append(
+            {"stage": stage["name"], "ext": ext, "similarity": sim,
+             "ckpt": str(ckpt_dir)}
+        )
+        print(f"{stage['name']}_e{ext}: similarity {sim:.3f}")
+        state["init_from"] = str(ckpt_dir)  # next run warm-starts here
+        if sim >= args.advance_at:
+            state["stage"] += 1
+            state["extension"] = 0
+        else:
+            total = steps * (ext + 1)
+            if total + steps > stage["max_steps"]:
+                state["status"] = f"stalled:{stage['name']} sim={sim:.3f}"
+                save()
+                print("STAGE STALLED", stage["name"], "sim", sim)
+                return
+            state["extension"] += 1  # keep training the same stage
+        save()
+
+    final = state["history"][-1]
+    state["status"] = "complete"
+    save()
+    if final["similarity"] >= args.ship_at and not args.dry_run:
+        last_stage = DEFAULT_STAGES[-1]
+        _run(
+            ["scripts/ship_checkpoint.py", "--preset", args.preset,
+             "--ckpt_dir", final["ckpt"],
+             "--font_size", last_stage["font_size"],
+             "--lines", last_stage["lines"], "--dpi", last_stage["dpi"],
+             "--data", "real", "--tasks", "extract",
+             "--steps", 0,
+             "--note", f"curriculum auto-ship sim={final['similarity']:.3f}"],
+            out_root / "ship.log", args.dry_run,
+        )
+        print("SHIPPED", final["ckpt"])
+    else:
+        print("NOT shipped (similarity below --ship_at or dry run)")
+
+
+if __name__ == "__main__":
+    main()

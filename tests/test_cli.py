@@ -92,3 +92,33 @@ def test_cli_extract_page(cli_workspace):
     record = json.loads((ws / "output" / "page_1.json").read_text())
     assert set(record) == {"page_number", "markdown", "entities", "summary"}
     assert (ws / "output" / "page_1.png").exists()
+
+
+def test_curriculum_driver_dry_run(tmp_path):
+    """The unattended curriculum driver plans the full hop chain, persists
+    resumable state, and chains warm-starts stage to stage."""
+    out = _run(
+        [
+            SCRIPTS / "run_curriculum.py", "--out", tmp_path / "curr",
+            "--dry_run", "--init_from", "checkpoints/r3/hopA",
+        ],
+        cwd=REPO,
+    )
+    assert "--init_from checkpoints/r3/hopA" in out      # stage 1 warm start
+    assert "hopB_e0" in out and "hopC_e0" in out
+    assert "--font_size 12" in out and "--dpi 150" in out  # target render
+    state = json.loads((tmp_path / "curr" / "curriculum.json").read_text())
+    assert state["status"] == "complete"
+    assert [h["stage"] for h in state["history"]] == ["hopA", "hopB", "hopC"]
+    # Warm-start chain: each stage inits from the previous stage's ckpt.
+    assert state["history"][1]["ckpt"].endswith("hopA_e0") is False
+    assert "hopB_e0" in state["history"][1]["ckpt"]
+    # Resume on a complete state is a no-op that still reports shipping.
+    out2 = _run(
+        [
+            SCRIPTS / "run_curriculum.py", "--out", tmp_path / "curr",
+            "--dry_run", "--resume",
+        ],
+        cwd=REPO,
+    )
+    assert "NOT shipped" in out2 or "SHIPPED" in out2
