@@ -19,6 +19,64 @@ import _bootstrap  # noqa: F401
 import numpy as np
 
 
+def _eval_golden_png(args):
+    """Score the VLM on the reference's OWN page rasters: real document
+    pixels (nothing synthetic anywhere in the loop), ground truth = the
+    markdown its pipeline extracted (pages/page_NNN.json raw_response)."""
+    import difflib
+    import os
+
+    from PIL import Image
+
+    from vision_compression_project_tpu.models import get_preset
+    from vision_compression_project_tpu.train.checkpoint import load_runner
+    from vision_compression_project_tpu.utils.json_utils import safe_json_loads
+
+    pages_dir = Path(
+        os.environ.get("VCP_GOLDEN_PAGES", "/root/reference/output/pages")
+    )
+    pngs = sorted(pages_dir.glob("page_*.png"))[: args.pages]
+    if not pngs:
+        raise SystemExit(f"no golden page PNGs under {pages_dir}")
+    golds, imgs = [], []
+    for png in pngs:
+        rec = safe_json_loads(
+            json.loads(png.with_suffix(".json").read_text())["raw_response"]
+        )
+        if not isinstance(rec, dict) or "markdown" not in rec:
+            continue
+        golds.append(rec["markdown"])
+        imgs.append(np.asarray(Image.open(png).convert("RGB")))
+    h = max(i.shape[0] for i in imgs)
+    w = max(i.shape[1] for i in imgs)
+    batch = np.full((len(imgs), h, w, 3), 255, np.uint8)
+    for i, im in enumerate(imgs):
+        batch[i, : im.shape[0], : im.shape[1]] = im
+
+    runner = load_runner(
+        get_preset(args.preset), args.ckpt_dir, max_new_default=args.max_new
+    )
+    records = runner.extract_batch(
+        batch, page_numbers=list(range(1, len(imgs) + 1))
+    )
+    sims = [
+        difflib.SequenceMatcher(None, g, r["markdown"]).ratio()
+        for g, r in zip(golds, records)
+    ]
+    result = {
+        "pages": len(imgs),
+        "data": "golden_png",
+        "source": str(pages_dir),
+        "markdown_similarity_mean": round(float(np.mean(sims)), 4),
+        "markdown_similarity_min": round(float(min(sims)), 4),
+    }
+    print(json.dumps(result))
+    print("\nsample VLM markdown:", records[0]["markdown"][:160].replace("\n", " | "))
+    print("sample gold markdown:", golds[0][:160].replace("\n", " | "))
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(result, indent=2))
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--preset", default="ocr_bpe")
@@ -30,11 +88,15 @@ def main():
     parser.add_argument("--lines", type=int, default=6)
     parser.add_argument("--max_new", type=int, default=256)
     parser.add_argument(
-        "--data", choices=["words", "real", "golden"], default="words",
+        "--data", choices=["words", "real", "golden", "golden_png"],
+        default="words",
         help="real: held-out real-language prose pages (corpus split never "
         "seen in training) — the VERDICT r2 generalization eval; golden: "
         "prose from the reference's golden combined.md (VCP_GOLDEN_MD), "
-        "fully outside every training pool",
+        "fully outside every training pool; golden_png: the reference's "
+        "OWN page rasters (real 1654x2339 scans, VCP_GOLDEN_PAGES dir) "
+        "scored against its extracted markdown — the end-goal eval on "
+        "genuinely real documents",
     )
     parser.add_argument("--json_out", default=None)
     args = parser.parse_args()
@@ -46,6 +108,9 @@ def main():
     from vision_compression_project_tpu.train.data import synthetic_page_text
 
     rng = np.random.default_rng(args.seed)
+    if args.data == "golden_png":
+        _eval_golden_png(args)
+        return
     if args.data in ("real", "golden"):
         from vision_compression_project_tpu.train.corpus import real_page_text
 
