@@ -219,3 +219,48 @@ def test_ccitt_g3_1d_image_renders(tmp_path):
     corner = page[: int(h * 0.15), : int(w * 0.15)]
     assert inner.mean() > 200, inner.mean()
     assert corner.mean() < 60, corner.mean()
+
+
+def test_progressive_jpeg_image_renders(tmp_path):
+    """Progressive JPEG (SOF2: spectral selection + successive
+    approximation) — PIL is both the independent encoder and the reference
+    decoder; our engine must match its pixels closely."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    img = np.zeros((120, 180, 3), np.uint8)
+    for x in range(180):
+        img[:, x] = (x * 255 // 179, 60, 255 - x * 255 // 179)
+    img[40:80, 60:120] = [10, 200, 10]
+    pdf = tmp_path / "prog.pdf"
+    Image.fromarray(img).save(
+        pdf, "PDF", resolution=72, quality=92, progressive=True
+    )
+    assert b"\xff\xc2" in pdf.read_bytes()  # SOF2 frame
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    # Compare against PIL's own decode of the same JPEG.
+    jpg = tmp_path / "prog.jpg"
+    Image.fromarray(img).save(jpg, quality=92, progressive=True)
+    ref = np.asarray(Image.open(jpg)).astype(int)
+    got = page[: ref.shape[0], : ref.shape[1]].astype(int)
+    err = np.abs(got - ref).mean()
+    assert err < 6, err  # IDCT/rounding differences only
+
+
+def test_progressive_jpeg_grayscale(tmp_path):
+    from PIL import Image
+
+    img = (np.arange(96 * 128).reshape(96, 128) % 256).astype(np.uint8)
+    pdf = tmp_path / "pg.pdf"
+    Image.fromarray(img, "L").save(
+        pdf, "PDF", resolution=72, quality=90, progressive=True
+    )
+    assert b"\xff\xc2" in pdf.read_bytes()
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    jpg = tmp_path / "pg.jpg"
+    Image.fromarray(img, "L").save(jpg, quality=90, progressive=True)
+    ref = np.asarray(Image.open(jpg)).astype(int)
+    got = page[: ref.shape[0], : ref.shape[1], 0].astype(int)
+    assert np.abs(got - ref).mean() < 6

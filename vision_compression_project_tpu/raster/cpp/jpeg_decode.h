@@ -1,13 +1,15 @@
-// Baseline-sequential JPEG (DCTDecode) decoder for image XObjects.
+// JPEG (DCTDecode) decoder for image XObjects.
 //
 // The reference delegated all raster work to Poppler, which carries libjpeg
 // (reference: backend/Dockerfile:4-6 poppler-utils); this engine is
 // self-contained, so scanned-document PDFs need an in-tree decoder.  Scope:
-// baseline DCT (SOF0/SOF1), 8-bit, 1- or 3-component (grayscale / YCbCr),
-// any H/V subsampling up to 2x2, restart intervals.  Progressive (SOF2),
-// arithmetic coding, 12-bit and CMYK are out of scope and fail gracefully
-// (caller leaves the region blank).  ~zero-dependency, correctness over
-// speed: page images decode once per document open.
+// baseline (SOF0/SOF1) and PROGRESSIVE (SOF2) DCT, 8-bit, 1/3/4 components
+// (grayscale / YCbCr / Adobe CMYK+YCCK), any H/V subsampling up to 2x2,
+// restart intervals, interleaved and single-component scans, spectral
+// selection and successive approximation.  Scans accumulate raw DCT
+// coefficients; dequantization + IDCT run once at the end.  Arithmetic
+// coding and 12-bit fail gracefully (caller leaves the region blank).
+// ~zero-dependency, correctness over speed: images decode once per open.
 
 #ifndef VCPR_JPEG_DECODE_H_
 #define VCPR_JPEG_DECODE_H_
@@ -41,9 +43,9 @@ class JpegDecoder {
       switch (m) {
         case 0xC0:
         case 0xC1:
+        case 0xC2:  // progressive: scans accumulate, IDCT deferred
           if (!parse_sof()) return false;
           break;
-        case 0xC2:
         case 0xC3:
         case 0xC5:
         case 0xC6:
@@ -54,7 +56,7 @@ class JpegDecoder {
         case 0xCD:
         case 0xCE:
         case 0xCF:
-          return false;  // non-baseline frame types
+          return false;  // lossless / arithmetic frame types
         case 0xC4:
           if (!parse_dht(seg_end)) return false;
           break;
@@ -67,8 +69,8 @@ class JpegDecoder {
         case 0xDA:
           if (!parse_sos()) return false;
           if (!decode_scan()) return false;
-          if (!finish(out, width, height, comps)) return false;
-          return true;
+          scans_++;
+          continue;  // p_ sits at the next marker; more scans may follow
         case 0xEE:  // APP14 "Adobe": carries the CMYK/YCCK transform flag
           if (seg_end - p_ >= 11 && memcmp(d_ + p_, "Adobe", 5) == 0) {
             adobe_present_ = true;
@@ -80,7 +82,9 @@ class JpegDecoder {
       }
       p_ = seg_end;
     }
-    return false;
+    if (!scans_ || width_ <= 0) return false;
+    idct_all();
+    return finish(out, width, height, comps);
   }
 
  private:
@@ -89,6 +93,7 @@ class JpegDecoder {
     int td = 0, ta = 0;
     int bx = 0, by = 0;          // blocks per MCU row/col over full image
     std::vector<int16_t> coef;   // decoded samples (post-IDCT), bx*8 x by*8
+    std::vector<int> dct;        // raw coefficients, natural order, /block
     int pred = 0;                // DC predictor
   };
 
@@ -172,6 +177,8 @@ class JpegDecoder {
       comp_[i].coef.assign(static_cast<size_t>(comp_[i].bx) * 8 *
                                comp_[i].by * 8,
                            0);
+      comp_[i].dct.assign(
+          static_cast<size_t>(comp_[i].bx) * comp_[i].by * 64, 0);
     }
     return width_ > 0 && height_ > 0;
   }
@@ -224,6 +231,9 @@ class JpegDecoder {
   }
 
   int scan_comp_[4], nscan_ = 0;
+  int ss_ = 0, se_ = 63, ah_ = 0, al_ = 0;  // spectral/approx params
+  int scans_ = 0;
+  unsigned eobrun_ = 0;
 
   bool parse_sos() {
     if (p_ >= n_) return false;
@@ -240,8 +250,16 @@ class JpegDecoder {
       comp_[ci].td = tables >> 4;
       comp_[ci].ta = tables & 15;
     }
-    p_ += 3;  // Ss, Se, Ah/Al (baseline: 0, 63, 0)
-    return nscan_ == ncomp_;  // interleaved scans only
+    if (p_ + 3 > n_) return false;
+    ss_ = d_[p_];
+    se_ = d_[p_ + 1];
+    ah_ = d_[p_ + 2] >> 4;
+    al_ = d_[p_ + 2] & 15;
+    p_ += 3;
+    if (ss_ > 63 || se_ > 63 || se_ < ss_) return false;
+    // AC scans are single-component by spec.
+    if (ss_ > 0 && nscan_ != 1) return false;
+    return true;
   }
 
   // -- entropy-coded segment ------------------------------------------------
@@ -320,60 +338,182 @@ class JpegDecoder {
       }
   }
 
-  int block_out_[64];
+  int receive_raw(int nbits) {
+    int v = 0;
+    for (int i = 0; i < nbits; i++) {
+      int b = next_bit();
+      if (b < 0) return v;
+      v = (v << 1) | b;
+    }
+    return v;
+  }
 
-  bool decode_block(Component* c) {
-    int t = decode_huff(hdc_[c->td]);
-    if (t < 0) return false;
-    int diff = receive_extend(t);
-    c->pred += diff;
-    memset(block_out_, 0, sizeof(block_out_));
-    block_out_[0] = c->pred * qt_[c->tq][0];
-    for (int k = 1; k < 64;) {
-      int rs = decode_huff(hac_[c->ta]);
-      if (rs < 0) return false;
-      int r = rs >> 4, s = rs & 15;
-      if (s == 0) {
-        if (r == 15) { k += 16; continue; }
-        break;  // EOB
+  // One block of the CURRENT scan (spectral window ss_..se_, approximation
+  // ah_/al_) into the block's raw-coefficient slot.  Baseline is the
+  // special case ss_=0, se_=63, ah_=al_=0.
+  bool decode_block_spectral(Component* c, int* blk) {
+    if (ss_ == 0) {
+      if (ah_ == 0) {  // DC first pass
+        int t = decode_huff(hdc_[c->td]);
+        if (t < 0) return false;
+        c->pred += receive_extend(t);
+        blk[0] = c->pred << al_;
+      } else {  // DC refinement: one bit
+        int b = next_bit();
+        if (b < 0) return false;
+        if (b) blk[0] |= 1 << al_;
       }
-      k += r;
-      if (k > 63) return false;
-      block_out_[kZigZag[k]] = receive_extend(s) * qt_[c->tq][kZigZag[k]];
-      k++;
+      if (se_ == 0) return true;
+    }
+    int kstart = std::max(ss_, 1);
+    if (ah_ == 0) {  // AC first pass
+      if (eobrun_ > 0) {
+        eobrun_--;
+        return true;
+      }
+      for (int k = kstart; k <= se_;) {
+        int rs = decode_huff(hac_[c->ta]);
+        if (rs < 0) return false;
+        int r = rs >> 4, sz = rs & 15;
+        if (sz == 0) {
+          if (r == 15) {
+            k += 16;
+            continue;
+          }
+          eobrun_ = (1u << r) - 1;
+          if (r) eobrun_ += receive_raw(r);
+          return true;
+        }
+        k += r;
+        if (k > se_) return false;
+        blk[kZigZag[k]] = receive_extend(sz) << al_;
+        k++;
+      }
+      return true;
+    }
+    // AC refinement (successive approximation, libjpeg algorithm).
+    int p1 = 1 << al_, m1 = -(1 << al_);
+    int k = kstart;
+    if (eobrun_ == 0) {
+      while (k <= se_) {
+        int rs = decode_huff(hac_[c->ta]);
+        if (rs < 0) return false;
+        int r = rs >> 4, sz = rs & 15;
+        int val = 0;
+        if (sz == 0) {
+          if (r != 15) {
+            eobrun_ = (1u << r);
+            if (r) eobrun_ += receive_raw(r);
+            break;
+          }
+          // ZRL: skip 16 zero-history coefficients (with corrections).
+        } else {
+          int b = next_bit();
+          if (b < 0) return false;
+          val = b ? p1 : m1;
+        }
+        while (k <= se_) {
+          int zz = kZigZag[k];
+          if (blk[zz] != 0) {
+            int b = next_bit();
+            if (b < 0) return false;
+            if (b && (blk[zz] & p1) == 0)
+              blk[zz] += blk[zz] >= 0 ? p1 : m1;
+          } else {
+            if (r == 0) {
+              if (val) blk[zz] = val;
+              k++;
+              break;
+            }
+            r--;
+          }
+          k++;
+        }
+      }
+    }
+    if (eobrun_ > 0) {
+      for (; k <= se_; k++) {
+        int zz = kZigZag[k];
+        if (blk[zz] != 0) {
+          int b = next_bit();
+          if (b < 0) return false;
+          if (b && (blk[zz] & p1) == 0)
+            blk[zz] += blk[zz] >= 0 ? p1 : m1;
+        }
+      }
+      eobrun_--;
     }
     return true;
   }
 
-  bool decode_scan() {
-    int mcu = 0, total_mcu = mcux_ * mcuy_;
+  void restart_state() {
     bitcnt_ = 0;
+    eobrun_ = 0;
+    if (p_ + 2 <= n_ && d_[p_] == 0xFF && d_[p_ + 1] >= 0xD0 &&
+        d_[p_ + 1] <= 0xD7)
+      p_ += 2;
+    for (int i = 0; i < ncomp_; i++) comp_[i].pred = 0;
+  }
+
+  int* block_ptr(Component* c, int byi, int bxi) {
+    return &c->dct[(static_cast<size_t>(byi) * c->bx + bxi) * 64];
+  }
+
+  bool decode_scan() {
+    bitcnt_ = 0;
+    eobrun_ = 0;
+    for (int i = 0; i < nscan_; i++) comp_[scan_comp_[i]].pred = 0;
+    if (nscan_ == 1) {
+      // Non-interleaved: the component's own block grid in raster order.
+      Component* c = &comp_[scan_comp_[0]];
+      int cw = (width_ * c->h + 8 * hmax_ - 1) / (8 * hmax_);
+      int ch = (height_ * c->v + 8 * vmax_ - 1) / (8 * vmax_);
+      int unit = 0;
+      for (int byi = 0; byi < ch; byi++)
+        for (int bxi = 0; bxi < cw; bxi++) {
+          if (!decode_block_spectral(c, block_ptr(c, byi, bxi)))
+            return false;
+          unit++;
+          if (restart_interval_ && unit % restart_interval_ == 0 &&
+              unit < cw * ch)
+            restart_state();
+        }
+      return true;
+    }
+    int mcu = 0, total_mcu = mcux_ * mcuy_;
     while (mcu < total_mcu) {
       for (int s = 0; s < nscan_; s++) {
         Component* c = &comp_[scan_comp_[s]];
         for (int by = 0; by < c->v; by++)
           for (int bx = 0; bx < c->h; bx++) {
-            if (!decode_block(c)) return false;
             int bxi = (mcu % mcux_) * c->h + bx;
             int byi = (mcu / mcux_) * c->v + by;
-            int stride = c->bx * 8;
-            idct_block(block_out_,
-                       &c->coef[static_cast<size_t>(byi) * 8 * stride + bxi * 8],
-                       stride);
+            if (!decode_block_spectral(c, block_ptr(c, byi, bxi)))
+              return false;
           }
       }
       mcu++;
       if (restart_interval_ && mcu % restart_interval_ == 0 &&
-          mcu < total_mcu) {
-        bitcnt_ = 0;
-        // Expect RSTn marker.
-        if (p_ + 2 <= n_ && d_[p_] == 0xFF && d_[p_ + 1] >= 0xD0 &&
-            d_[p_ + 1] <= 0xD7)
-          p_ += 2;
-        for (int i = 0; i < ncomp_; i++) comp_[i].pred = 0;
-      }
+          mcu < total_mcu)
+        restart_state();
     }
     return true;
+  }
+
+  void idct_all() {
+    int tmp[64];
+    for (int i = 0; i < ncomp_; i++) {
+      Component& c = comp_[i];
+      int stride = c.bx * 8;
+      for (int byi = 0; byi < c.by; byi++)
+        for (int bxi = 0; bxi < c.bx; bxi++) {
+          const int* blk = block_ptr(&c, byi, bxi);
+          for (int k = 0; k < 64; k++) tmp[k] = blk[k] * qt_[c.tq][k];
+          idct_block(tmp,
+                     &c.coef[static_cast<size_t>(byi) * 8 * stride + bxi * 8],
+                     stride);
+        }
+    }
   }
 
   static uint8_t clamp8(int v) {
