@@ -1,0 +1,61 @@
+"""Form XObjects (/Subtype /Form): reusable content streams with their own
+resources and placement matrix — matplotlib scatter markers and LaTeX
+boxes draw through these (previously silently skipped)."""
+
+import numpy as np
+import pytest
+
+from vision_compression_project_tpu.raster import PdfDocument
+
+from tests.test_raster_shading import _pdf
+
+
+def test_form_xobject_placed_twice(tmp_path):
+    """One form (a filled triangle), placed at two CTMs, renders twice."""
+    form_content = b"0 g 0 0 m 20 0 l 10 16 l h f"
+    form = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 20 16]"
+        b" /Length " + str(len(form_content)).encode() + b" >>\nstream\n"
+        + form_content + b"\nendstream"
+    )
+    content = b"q 1 0 0 1 20 20 cm /Fm1 Do Q q 2 0 0 2 100 60 cm /Fm1 Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Resources << /XObject << /Fm1 4 0 R >> >> /Contents 5 0 R >>",
+        form,
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    pdf = _pdf(tmp_path / "form.pdf", objs)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    # First placement: triangle near (20..40, 20..36) in PDF coords.
+    assert gray[h - 26, 30] < 40        # inside instance 1
+    # Second placement at 2x scale near (100..140, 60..92).
+    assert gray[h - 70, 120] < 40       # inside instance 2
+    assert gray[5, 5] > 230             # background untouched
+
+
+def test_matplotlib_scatter_markers_render(tmp_path):
+    """Scatter markers are Form XObjects in matplotlib output."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(4, 3))
+    ax = fig.add_axes([0.05, 0.05, 0.9, 0.9])
+    ax.scatter([0, 1, 2, 3] * 3, list(range(12)), s=400, color="black")
+    ax.axis("off")
+    pdf = tmp_path / "scatter.pdf"
+    fig.savefig(pdf)
+    plt.close(fig)
+    raw = pdf.read_bytes()
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    ink = (gray < 100).mean()
+    assert ink > 0.01, ink  # the 12 big markers leave real ink

@@ -612,12 +612,23 @@ struct ShadingDef {
   }
 };
 
+struct PageData;
+
+// Form XObject: a reusable content stream with its own resources and a
+// placement matrix — matplotlib markers and LaTeX boxes draw through
+// these.  Interpreted recursively at `Do` time.
+struct FormXObject {
+  double matrix[6] = {1, 0, 0, 1, 0, 0};
+  std::shared_ptr<PageData> sub;  // content + the form's OWN resources
+};
+
 struct PageData {
   double width_pts = 612, height_pts = 792;
   std::string content;                       // decoded content stream
   std::map<std::string, Font> fonts;         // resource name -> font
   std::map<std::string, std::shared_ptr<ImageXObject>> images;
   std::map<std::string, ShadingDef> shadings;
+  std::map<std::string, FormXObject> forms;
 };
 
 class Document {
@@ -1331,7 +1342,7 @@ class Document {
     }
   }
 
-  void load_xobjects(const ObjPtr& resources, PageData* pd) {
+  void load_xobjects(const ObjPtr& resources, PageData* pd, int depth = 0) {
     if (!resources->is(Obj::kDict)) return;
     ObjPtr xobjs = resolve(get(resources, "XObject"));
     if (!xobjs->is(Obj::kDict)) return;
@@ -1339,9 +1350,26 @@ class Document {
       ObjPtr x = resolve(xref);
       if (!x->is(Obj::kStream)) continue;
       ObjPtr st = resolve(get(x, "Subtype"));
-      if (!st->is(Obj::kName) || st->str != "Image") continue;
-      auto img = decode_image(x);
-      if (img) pd->images[name] = img;
+      if (!st->is(Obj::kName)) continue;
+      if (st->str == "Image") {
+        auto img = decode_image(x);
+        if (img) pd->images[name] = img;
+      } else if (st->str == "Form" && depth < 6) {
+        FormXObject form;
+        ObjPtr m = resolve(get(x, "Matrix"));
+        if (m->is(Obj::kArray) && m->arr.size() >= 6)
+          for (int i = 0; i < 6; i++)
+            form.matrix[i] = resolve(m->arr[i])->as_num(i % 3 == 0 ? 1 : 0);
+        form.sub = std::make_shared<PageData>();
+        form.sub->width_pts = pd->width_pts;
+        form.sub->height_pts = pd->height_pts;
+        form.sub->content = decode_stream(x);
+        ObjPtr fres = resolve(get(x, "Resources"));
+        load_fonts(fres, form.sub.get());
+        load_xobjects(fres, form.sub.get(), depth + 1);
+        load_shadings(fres, form.sub.get());
+        if (!form.sub->content.empty()) pd->forms[name] = std::move(form);
+      }
     }
   }
 
@@ -1976,6 +2004,74 @@ class ContentInterp {
         auto it = page.images.find(a[0]->str);
         if (it != page.images.end())
           res.images.push_back({it->second.get(), ctm, seq++});
+        auto fit = page.forms.find(a[0]->str);
+        if (fit != page.forms.end() && fit->second.sub) {
+          // Recursive form interpretation: run the form's content against
+          // its OWN resources, then map every primitive through
+          // M = FormMatrix x ctm into this page's space, preserving order.
+          const FormXObject& form = fit->second;
+          InterpResult sub = ContentInterp::run(*form.sub);
+          Mat fmat;
+          fmat.a = form.matrix[0]; fmat.b = form.matrix[1];
+          fmat.c = form.matrix[2]; fmat.d = form.matrix[3];
+          fmat.e = form.matrix[4]; fmat.f = form.matrix[5];
+          Mat M = Mat::mul(fmat, ctm);
+          double mscale = sqrt(fabs(M.a * M.d - M.b * M.c));
+          auto txf = [&](double px, double py, double* ox, double* oy) {
+            *ox = px * M.a + py * M.c + M.e;
+            *oy = px * M.b + py * M.d + M.f;
+          };
+          // Order primitives by their inner seq so the form's own paint
+          // order is kept; each gets a fresh outer seq.
+          struct Ref { int kind; size_t idx; int inner; };
+          std::vector<Ref> inner_order;
+          for (size_t i = 0; i < sub.images.size(); i++)
+            inner_order.push_back({0, i, sub.images[i].seq});
+          for (size_t i = 0; i < sub.paths.size(); i++)
+            inner_order.push_back({1, i, sub.paths[i].seq});
+          for (size_t i = 0; i < sub.rects.size(); i++)
+            inner_order.push_back({2, i, sub.rects[i].seq});
+          std::sort(inner_order.begin(), inner_order.end(),
+                    [](const Ref& x2, const Ref& y2) {
+                      return x2.inner < y2.inner;
+                    });
+          for (auto& ref : inner_order) {
+            if (ref.kind == 0) {
+              ImagePlacement pl = sub.images[ref.idx];
+              pl.ctm = Mat::mul(pl.ctm, M);
+              pl.seq = seq++;
+              res.images.push_back(pl);
+            } else if (ref.kind == 1) {
+              FillPath fp = std::move(sub.paths[ref.idx]);
+              for (auto& sp : fp.subpaths)
+                for (auto& pt : sp) {
+                  double ox, oy;
+                  txf(pt.first, pt.second, &ox, &oy);
+                  pt = {ox, oy};
+                }
+              fp.seq = seq++;
+              res.paths.push_back(std::move(fp));
+            } else {
+              const Rect& r = sub.rects[ref.idx];
+              double x0, y0, x1, y1;
+              txf(r.x, r.y, &x0, &y0);
+              txf(r.x + r.w, r.y + r.h, &x1, &y1);
+              res.rects.push_back({std::min(x0, x1), std::min(y0, y1),
+                                   fabs(x1 - x0), fabs(y1 - y0), r.gray,
+                                   seq++});
+            }
+          }
+          for (auto& prun : sub.runs) {
+            PositionedRun pr = prun;
+            txf(prun.x, prun.y, &pr.x, &pr.y);
+            double ex, ey;
+            txf(prun.end_x, prun.y, &ex, &ey);
+            pr.end_x = ex;
+            pr.size = prun.size * (mscale > 1e-9 ? mscale : 1.0);
+            res.runs.push_back(std::move(pr));
+          }
+          for (auto& own : sub.owned) res.owned.push_back(own);
+        }
       } else if (op == "BI") {
         // Inline image: /key value pairs to ID, raw bytes to a delimited
         // EI.  Supported: 8-bpc gray/RGB and 1-bpc gray/ImageMask, raw or
