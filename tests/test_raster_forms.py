@@ -59,3 +59,53 @@ def test_matplotlib_scatter_markers_render(tmp_path):
     gray = page.mean(axis=2)
     ink = (gray < 100).mean()
     assert ink > 0.01, ink  # the 12 big markers leave real ink
+
+
+def test_extgstate_alpha_blend(tmp_path):
+    """ExtGState ca: two overlapping 50%-alpha fills blend with the page
+    and each other — matplotlib alpha patches emit exactly this."""
+    content = (
+        b"/GS0 gs 1 0 0 rg 20 20 m 100 20 l 100 90 l 20 90 l h f "
+        b"0 0 1 rg 60 20 m 140 20 l 140 90 l 60 90 l h f"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Resources << /ExtGState << /GS0 << /Type /ExtGState /ca 0.5"
+        b" /CA 0.5 >> >> >> /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    pdf = _pdf(tmp_path / "alpha.pdf", objs)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    red_only = page[h // 2, int(w * 0.25)].astype(int)
+    overlap = page[h // 2, int(w * 0.5)].astype(int)
+    # 50% red over white: ~(255, 128, 128).
+    assert abs(red_only[0] - 255) < 8 and abs(red_only[1] - 128) < 16
+    # 50% blue over that: blue rises, red falls toward ~191/64.
+    assert overlap[2] > red_only[2] + 40
+    assert overlap[0] < red_only[0] - 40
+
+
+def test_matplotlib_alpha_patch(tmp_path):
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(4, 3))
+    ax = fig.add_axes([0.05, 0.05, 0.9, 0.9])
+    ax.bar([0], [1], color="black", alpha=0.4, width=1.0)
+    ax.axis("off")
+    pdf = tmp_path / "alpha_mpl.pdf"
+    fig.savefig(pdf)
+    plt.close(fig)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    bar = gray[h // 2, int(w * 0.5)]
+    # 40% black over white ~ 153 gray: neither white nor solid black.
+    assert 110 < bar < 200, bar

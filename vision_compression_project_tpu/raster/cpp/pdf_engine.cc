@@ -629,6 +629,8 @@ struct PageData {
   std::map<std::string, std::shared_ptr<ImageXObject>> images;
   std::map<std::string, ShadingDef> shadings;
   std::map<std::string, FormXObject> forms;
+  // ExtGState constant alpha: name -> (fill ca, stroke CA).
+  std::map<std::string, std::pair<double, double>> ext_alpha;
 };
 
 class Document {
@@ -879,6 +881,7 @@ class Document {
       load_fonts(resolve(resources), &pd);
       load_xobjects(resolve(resources), &pd);
       load_shadings(resolve(resources), &pd);
+      load_extgstate(resolve(resources), &pd);
       pages_.push_back(std::move(pd));
       return;
     }
@@ -1298,6 +1301,22 @@ class Document {
     return false;  // PostScript (type 4) functions: skip shading
   }
 
+  void load_extgstate(const ObjPtr& resources, PageData* pd) {
+    if (!resources->is(Obj::kDict)) return;
+    ObjPtr gs = resolve(get(resources, "ExtGState"));
+    if (!gs->is(Obj::kDict)) return;
+    for (auto& [name, gref] : gs->dict) {
+      ObjPtr g = resolve(gref);
+      if (!g->is(Obj::kDict)) continue;
+      double ca = 1.0, CA = 1.0;
+      ObjPtr c1 = resolve(get(g, "ca"));
+      ObjPtr c2 = resolve(get(g, "CA"));
+      if (c1->is(Obj::kNum)) ca = c1->num;
+      if (c2->is(Obj::kNum)) CA = c2->num;
+      pd->ext_alpha[name] = {ca, CA};
+    }
+  }
+
   void load_shadings(const ObjPtr& resources, PageData* pd) {
     if (!resources->is(Obj::kDict)) return;
     ObjPtr shs = resolve(get(resources, "Shading"));
@@ -1368,6 +1387,7 @@ class Document {
         load_fonts(fres, form.sub.get());
         load_xobjects(fres, form.sub.get(), depth + 1);
         load_shadings(fres, form.sub.get());
+        load_extgstate(fres, form.sub.get());
         if (!form.sub->content.empty()) pd->forms[name] = std::move(form);
       }
     }
@@ -1543,6 +1563,7 @@ struct FillPath {
   std::vector<std::vector<std::pair<double, double>>> subpaths;
   double gray = 0;        // luminance (kept for glyph-transport parity)
   double rgb[3] = {0, 0, 0};
+  double alpha = 1.0;     // ExtGState ca/CA constant alpha
   bool evenodd = false;
   int seq = 0;
 };
@@ -1650,6 +1671,7 @@ class ContentInterp {
     double tz = 100;  // horizontal scale percent
     double gray = 0;
     double fill_rgb[3] = {0, 0, 0}, stroke_rgb[3] = {0, 0, 0};
+    double fill_alpha = 1.0, stroke_alpha = 1.0;
     // Current vector path (m/l/c/v/y/h), flattened, in PATH space (the
     // ctm applies at paint time because cm may not change mid-path).
     std::vector<std::vector<std::pair<double, double>>> cur_path;
@@ -1690,6 +1712,7 @@ class ContentInterp {
       if (cur_path.empty()) return;
       FillPath fp;
       fp.gray = gray;
+      fp.alpha = stroke_alpha;
       for (int c = 0; c < 3; c++) fp.rgb[c] = stroke_rgb[c];
       double scale = sqrt(fabs(ctm.a * ctm.d - ctm.b * ctm.c));
       double hw = std::max(line_width * (scale > 1e-9 ? scale : 1.0), 0.5) / 2;
@@ -1719,6 +1742,7 @@ class ContentInterp {
       if (cur_path.empty()) return;
       FillPath fp;
       fp.gray = gray;
+      fp.alpha = fill_alpha;
       for (int c = 0; c < 3; c++) fp.rgb[c] = fill_rgb[c];
       fp.evenodd = evenodd;
       for (auto& sp : cur_path) {
@@ -1988,6 +2012,13 @@ class ContentInterp {
         cur_path.clear();
       } else if (op == "w") {
         line_width = popn(1)[0]->as_num(1);
+      } else if (op == "gs") {
+        auto a = popn(1);
+        auto it = page.ext_alpha.find(a[0]->str);
+        if (it != page.ext_alpha.end()) {
+          fill_alpha = it->second.first;
+          stroke_alpha = it->second.second;
+        }
       } else if (op == "sh") {
         auto a = popn(1);
         auto it = page.shadings.find(a[0]->str);
@@ -2451,10 +2482,14 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
           int xb = std::min(
               W - 1, static_cast<int>(floor(xs[i + 1].first - 0.5)));
           unsigned char* row = out + (static_cast<long>(py) * W) * 3;
+          double a1 = std::max(0.0, std::min(1.0, fp.alpha));
           for (int x = xa; x <= xb; x++) {
-            row[x * 3] = col[0];
-            row[x * 3 + 1] = col[1];
-            row[x * 3 + 2] = col[2];
+            for (int c = 0; c < 3; c++) {
+              double blended =
+                  row[x * 3 + c] * (1.0 - a1) + col[c] * a1;
+              row[x * 3 + c] = static_cast<unsigned char>(
+                  blended < 0 ? 0 : (blended > 255 ? 255 : blended));
+            }
           }
         }
       }
