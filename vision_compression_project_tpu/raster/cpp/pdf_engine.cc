@@ -1676,6 +1676,10 @@ class ContentInterp {
     // ctm applies at paint time because cm may not change mid-path).
     std::vector<std::vector<std::pair<double, double>>> cur_path;
     double cx = 0, cy = 0, startx = 0, starty = 0;  // current/start point
+    // Local (NOT shared static): ContentInterp::run recurses for Form
+    // XObjects and Type3 glyph procs; shared pending state would leak
+    // path rects across interpreter levels.
+    std::vector<Rect> pending_rects_;
 
     auto path_moveto = [&](double x, double y) {
       cur_path.emplace_back();
@@ -2234,11 +2238,7 @@ class ContentInterp {
     return res;
   }
 
- private:
-  static thread_local std::vector<Rect> pending_rects_;
 };
-
-thread_local std::vector<Rect> ContentInterp::pending_rects_;
 
 // ---------------------------------------------------------------------------
 // Text extraction: order runs into lines
