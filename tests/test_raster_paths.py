@@ -172,3 +172,22 @@ def test_matplotlib_color_chart(tmp_path):
     right = page[h // 2, int(w * 0.72)]
     assert left[0] > 150 and left[2] < 100, left     # red bar
     assert right[2] > 150 and right[0] < 100, right  # blue bar
+
+
+def test_dashed_stroke(tmp_path):
+    """d: dashed strokes leave alternating ink and gaps."""
+    pdf = _content_pdf(
+        tmp_path / "dash.pdf",
+        b"0 g 4 w [12 12] 0 d 10 60 m 150 60 l S",
+    )
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    gray = page.mean(axis=2)
+    h, w = gray.shape
+    row = gray[h // 2, 10:150]
+    dark = (row < 100)
+    frac = dark.mean()
+    assert 0.3 < frac < 0.7, frac          # roughly half on, half off
+    # The pattern alternates: there are multiple dark runs, not one.
+    transitions = int(np.abs(np.diff(dark.astype(int))).sum())
+    assert transitions >= 6, transitions

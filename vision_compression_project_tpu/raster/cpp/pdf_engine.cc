@@ -1710,6 +1710,8 @@ class ContentInterp {
       cy = y3;
     };
     double line_width = 1.0;
+    std::vector<double> dash_array;
+    double dash_phase = 0;
     auto flush_path_stroke = [&]() {
       // Stroke approximation: each segment becomes a filled quad of the
       // line width (no joins/caps — charts and axes read fine without).
@@ -1720,20 +1722,56 @@ class ContentInterp {
       for (int c = 0; c < 3; c++) fp.rgb[c] = stroke_rgb[c];
       double scale = sqrt(fabs(ctm.a * ctm.d - ctm.b * ctm.c));
       double hw = std::max(line_width * (scale > 1e-9 ? scale : 1.0), 0.5) / 2;
+      double pat_total = 0;
+      for (double dlen : dash_array) pat_total += dlen;
+      bool dashed = pat_total > 1e-9;
+      auto emit_quad = [&](double ax, double ay, double bx, double by) {
+        double dx = bx - ax, dy = by - ay;
+        double len = sqrt(dx * dx + dy * dy);
+        if (len < 1e-9) return;
+        double nx = -dy / len * hw, ny = dx / len * hw;
+        fp.subpaths.push_back({{ax + nx, ay + ny},
+                               {bx + nx, by + ny},
+                               {bx - nx, by - ny},
+                               {ax - nx, ay - ny}});
+      };
       for (auto& sp : cur_path) {
+        // Dash state walks the whole subpath in device units.
+        double pos = dash_phase * scale;
         for (size_t i = 0; i + 1 < sp.size(); i++) {
           double ax = sp[i].first * ctm.a + sp[i].second * ctm.c + ctm.e;
           double ay = sp[i].first * ctm.b + sp[i].second * ctm.d + ctm.f;
           double bx = sp[i + 1].first * ctm.a + sp[i + 1].second * ctm.c + ctm.e;
           double by = sp[i + 1].first * ctm.b + sp[i + 1].second * ctm.d + ctm.f;
+          if (!dashed) {
+            emit_quad(ax, ay, bx, by);
+            continue;
+          }
           double dx = bx - ax, dy = by - ay;
           double len = sqrt(dx * dx + dy * dy);
           if (len < 1e-9) continue;
-          double nx = -dy / len * hw, ny = dx / len * hw;
-          fp.subpaths.push_back({{ax + nx, ay + ny},
-                                 {bx + nx, by + ny},
-                                 {bx - nx, by - ny},
-                                 {ax - nx, ay - ny}});
+          double ux = dx / len, uy = dy / len;
+          double t = 0;
+          int guard = 0;
+          while (t < len && ++guard < 4096) {
+            // Locate position within the (scaled) dash pattern.
+            double m = fmod(pos, pat_total * scale);
+            size_t k = 0;
+            bool on = true;
+            double seg = dash_array[0] * scale;
+            while (m >= seg && k + 1 < dash_array.size() * 2) {
+              m -= seg;
+              k++;
+              on = (k % 2 == 0);
+              seg = dash_array[k % dash_array.size()] * scale;
+            }
+            double remain = std::min(seg - m, len - t);
+            if (on)
+              emit_quad(ax + ux * t, ay + uy * t,
+                        ax + ux * (t + remain), ay + uy * (t + remain));
+            t += remain;
+            pos += remain;
+          }
         }
       }
       if (!fp.subpaths.empty()) {
@@ -2016,6 +2054,15 @@ class ContentInterp {
         cur_path.clear();
       } else if (op == "w") {
         line_width = popn(1)[0]->as_num(1);
+      } else if (op == "d") {
+        auto a = popn(2);
+        dash_array.clear();
+        if (a[0]->is(Obj::kArray))
+          for (auto& e : a[0]->arr) {
+            double v = e->as_num(0);
+            if (v > 0) dash_array.push_back(v);
+          }
+        dash_phase = a[1]->as_num(0);
       } else if (op == "gs") {
         auto a = popn(1);
         auto it = page.ext_alpha.find(a[0]->str);
