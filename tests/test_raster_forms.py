@@ -109,3 +109,34 @@ def test_matplotlib_alpha_patch(tmp_path):
     bar = gray[h // 2, int(w * 0.5)]
     # 40% black over white ~ 153 gray: neither white nor solid black.
     assert 110 < bar < 200, bar
+
+
+def test_cs_scn_device_and_separation(tmp_path):
+    """cs/scn color selection: DeviceRGB via scn, and a /Separation spot
+    color resolved through its type-2 tint transform."""
+    content = (
+        b"/CS0 cs 1 0 0 scn 10 70 m 70 70 l 70 110 l 10 110 l h f "
+        b"/Spot cs 1 scn 90 70 m 150 70 l 150 110 l 90 110 l h f"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 160 120]"
+        b" /Resources << /ColorSpace << /CS0 /DeviceRGB /Spot 4 0 R >> >>"
+        b" /Contents 5 0 R >>",
+        # Spot 'GreenInk': tint t -> RGB (0, t, 0.2t)
+        b"[ /Separation /GreenInk /DeviceRGB << /FunctionType 2"
+        b" /Domain [0 1] /C0 [0 0 0] /C1 [0 1 0.2] /N 1 >> ]",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    pdf = _pdf(tmp_path / "scn.pdf", objs)
+    with PdfDocument(pdf) as doc:
+        page = doc.render_page(0, dpi=72)
+    h, w = page.shape[:2]
+    left = page[int(h * 0.15) : int(h * 0.35), int(w * 0.1) : int(w * 0.4)]
+    right = page[int(h * 0.15) : int(h * 0.35), int(w * 0.6) : int(w * 0.9)]
+    lm, rm = left.reshape(-1, 3).mean(0), right.reshape(-1, 3).mean(0)
+    assert lm[0] > 180 and lm[1] < 80, lm      # scn red
+    assert rm[1] > 180 and rm[0] < 80, rm      # separation -> green
+    assert 30 < rm[2] < 90, rm                 # tint's 0.2 blue component

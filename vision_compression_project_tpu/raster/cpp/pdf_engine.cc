@@ -631,6 +631,15 @@ struct PageData {
   std::map<std::string, FormXObject> forms;
   // ExtGState constant alpha: name -> (fill ca, stroke CA).
   std::map<std::string, std::pair<double, double>> ext_alpha;
+  // Named color spaces (cs/CS operands): resolved component count + an
+  // optional Separation/DeviceN tint transform into an alternate space.
+  struct ColorSpaceDef {
+    int ncomp = 3;          // components of THIS space (scn operand count)
+    int alt_ncomp = 3;      // components after the tint transform
+    bool has_tint = false;
+    FuncDef tint;
+  };
+  std::map<std::string, ColorSpaceDef> colorspaces;
 };
 
 class Document {
@@ -882,6 +891,7 @@ class Document {
       load_xobjects(resolve(resources), &pd);
       load_shadings(resolve(resources), &pd);
       load_extgstate(resolve(resources), &pd);
+      load_colorspaces(resolve(resources), &pd);
       pages_.push_back(std::move(pd));
       return;
     }
@@ -1301,6 +1311,60 @@ class Document {
     return false;  // PostScript (type 4) functions: skip shading
   }
 
+  void load_colorspaces(const ObjPtr& resources, PageData* pd) {
+    if (!resources->is(Obj::kDict)) return;
+    ObjPtr css = resolve(get(resources, "ColorSpace"));
+    if (!css->is(Obj::kDict)) return;
+    for (auto& [name, cref] : css->dict) {
+      ObjPtr c = resolve(cref);
+      PageData::ColorSpaceDef def;
+      if (c->is(Obj::kName)) {
+        def.ncomp = c->str == "DeviceGray" ? 1
+                    : c->str == "DeviceCMYK" ? 4 : 3;
+        def.alt_ncomp = def.ncomp;
+        pd->colorspaces[name] = def;
+        continue;
+      }
+      if (!c->is(Obj::kArray) || c->arr.empty()) continue;
+      ObjPtr head = resolve(c->arr[0]);
+      if (!head->is(Obj::kName)) continue;
+      if (head->str == "ICCBased" && c->arr.size() >= 2) {
+        int n = static_cast<int>(
+            resolve(get(resolve(c->arr[1]), "N"))->as_num(3));
+        def.ncomp = n;
+        def.alt_ncomp = n;
+        pd->colorspaces[name] = def;
+      } else if ((head->str == "Separation" && c->arr.size() >= 4) ||
+                 (head->str == "DeviceN" && c->arr.size() >= 4)) {
+        // [/Separation name alt tintFn] / [/DeviceN [names] alt tintFn]
+        if (head->str == "Separation") {
+          def.ncomp = 1;
+        } else {
+          ObjPtr names = resolve(c->arr[1]);
+          def.ncomp = names->is(Obj::kArray)
+                          ? static_cast<int>(names->arr.size())
+                          : 1;
+        }
+        ObjPtr alt = resolve(c->arr[2]);
+        std::string alt_name = alt->is(Obj::kName) ? alt->str : "DeviceRGB";
+        if (alt->is(Obj::kArray) && !alt->arr.empty()) {
+          ObjPtr ah = resolve(alt->arr[0]);
+          if (ah->is(Obj::kName) && ah->str == "ICCBased" &&
+              alt->arr.size() >= 2) {
+            int n = static_cast<int>(
+                resolve(get(resolve(alt->arr[1]), "N"))->as_num(3));
+            alt_name = n == 1 ? "DeviceGray" : n == 4 ? "DeviceCMYK"
+                                                      : "DeviceRGB";
+          }
+        }
+        def.alt_ncomp = alt_name == "DeviceGray" ? 1
+                        : alt_name == "DeviceCMYK" ? 4 : 3;
+        def.has_tint = parse_function(c->arr[3], &def.tint);
+        pd->colorspaces[name] = def;
+      }
+    }
+  }
+
   void load_extgstate(const ObjPtr& resources, PageData* pd) {
     if (!resources->is(Obj::kDict)) return;
     ObjPtr gs = resolve(get(resources, "ExtGState"));
@@ -1388,6 +1452,7 @@ class Document {
         load_xobjects(fres, form.sub.get(), depth + 1);
         load_shadings(fres, form.sub.get());
         load_extgstate(fres, form.sub.get());
+        load_colorspaces(fres, form.sub.get());
         if (!form.sub->content.empty()) pd->forms[name] = std::move(form);
       }
     }
@@ -1672,6 +1737,32 @@ class ContentInterp {
     double gray = 0;
     double fill_rgb[3] = {0, 0, 0}, stroke_rgb[3] = {0, 0, 0};
     double fill_alpha = 1.0, stroke_alpha = 1.0;
+    // Active color spaces for sc/scn operands (default DeviceGray per
+    // spec; producers set cs before sc).
+    PageData::ColorSpaceDef fill_cs, stroke_cs;
+    fill_cs.ncomp = fill_cs.alt_ncomp = 1;
+    stroke_cs.ncomp = stroke_cs.alt_ncomp = 1;
+    auto apply_components = [&](const PageData::ColorSpaceDef& csd,
+                                std::vector<double> vals, double* rgb_out) {
+      if (csd.has_tint) {
+        std::vector<double> alt;
+        csd.tint.eval(vals.empty() ? 0.0 : vals[0], &alt);
+        vals = alt;
+      }
+      size_t n = vals.size();
+      if (n >= 4) {  // CMYK
+        for (int c = 0; c < 3; c++) {
+          double v = 1.0 - vals[c] - vals[3];
+          rgb_out[c] = v < 0 ? 0 : v;
+        }
+      } else if (n == 3) {
+        for (int c = 0; c < 3; c++)
+          rgb_out[c] = std::max(0.0, std::min(1.0, vals[c]));
+      } else if (n >= 1) {
+        rgb_out[0] = rgb_out[1] = rgb_out[2] =
+            std::max(0.0, std::min(1.0, vals[0]));
+      }
+    };
     // Current vector path (m/l/c/v/y/h), flattened, in PATH space (the
     // ctm applies at paint time because cm may not change mid-path).
     std::vector<std::vector<std::pair<double, double>>> cur_path;
@@ -2063,6 +2154,40 @@ class ContentInterp {
             if (v > 0) dash_array.push_back(v);
           }
         dash_phase = a[1]->as_num(0);
+      } else if (op == "cs" || op == "CS") {
+        auto a = popn(1);
+        PageData::ColorSpaceDef def;
+        if (a[0]->is(Obj::kName)) {
+          auto it = page.colorspaces.find(a[0]->str);
+          if (it != page.colorspaces.end()) {
+            def = it->second;
+          } else {
+            def.ncomp = a[0]->str == "DeviceGray" ? 1
+                        : a[0]->str == "DeviceCMYK" ? 4 : 3;
+            def.alt_ncomp = def.ncomp;
+          }
+        }
+        (op == "cs" ? fill_cs : stroke_cs) = def;
+      } else if (op == "sc" || op == "scn" || op == "SC" || op == "SCN") {
+        bool is_fill = op[0] == 's';
+        const PageData::ColorSpaceDef& csd = is_fill ? fill_cs : stroke_cs;
+        // Operand count follows the space; a trailing pattern NAME (scn
+        // with /Pattern) leaves no numerics — keep the previous color.
+        std::vector<double> vals;
+        auto a = popn(csd.ncomp);
+        bool numeric = false;
+        for (auto& v : a)
+          if (v->is(Obj::kNum)) {
+            vals.push_back(v->num);
+            numeric = true;
+          }
+        if (numeric) {
+          double* t = is_fill ? fill_rgb : stroke_rgb;
+          apply_components(csd, vals, t);
+          if (is_fill)
+            gray = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2];
+        }
+        stack.clear();
       } else if (op == "gs") {
         auto a = popn(1);
         auto it = page.ext_alpha.find(a[0]->str);
