@@ -2592,15 +2592,30 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
         double u = ia * dx + ic * dy;
         double v = ib * dx + id * dy;
         if (u < 0 || u >= 1 || v < 0 || v >= 1) continue;
-        int ix = std::min(im.w - 1, static_cast<int>(u * im.w));
-        int iy = std::min(im.h - 1, static_cast<int>((1.0 - v) * im.h));
-        const uint8_t* sp =
-            im.px.data() + (static_cast<size_t>(iy) * im.w + ix) * im.comps;
+        // Bilinear sample: scanned documents are full-page image XObjects
+        // rendered at model DPI — nearest-neighbor aliasing visibly
+        // degrades small glyphs (the OCR input).
+        double fx = u * im.w - 0.5, fy = (1.0 - v) * im.h - 0.5;
+        int ix0 = static_cast<int>(floor(fx));
+        int iy0 = static_cast<int>(floor(fy));
+        double wx = fx - ix0, wy = fy - iy0;
+        int ix1 = std::min(im.w - 1, std::max(0, ix0 + 1));
+        int iy1 = std::min(im.h - 1, std::max(0, iy0 + 1));
+        ix0 = std::min(im.w - 1, std::max(0, ix0));
+        iy0 = std::min(im.h - 1, std::max(0, iy0));
+        const uint8_t* base = im.px.data();
         unsigned char* q = out + (static_cast<long>(py) * W + px) * 3;
-        if (im.comps == 3) {
-          q[0] = sp[0]; q[1] = sp[1]; q[2] = sp[2];
-        } else {
-          q[0] = q[1] = q[2] = sp[0];
+        for (int c = 0; c < 3; c++) {
+          int cc = im.comps == 3 ? c : 0;
+          auto at = [&](int yy, int xx) {
+            return static_cast<double>(
+                base[(static_cast<size_t>(yy) * im.w + xx) * im.comps + cc]);
+          };
+          double vtop = at(iy0, ix0) * (1 - wx) + at(iy0, ix1) * wx;
+          double vbot = at(iy1, ix0) * (1 - wx) + at(iy1, ix1) * wx;
+          double vv = vtop * (1 - wy) + vbot * wy;
+          q[c] = static_cast<unsigned char>(
+              vv < 0 ? 0 : (vv > 255 ? 255 : lrint(vv)));
         }
       }
     }
