@@ -357,6 +357,10 @@ class TtfFont {
   // Non-zero-winding scanline fill of device-space edges.
   static void fill_edges(std::vector<Edge>& edges, unsigned char* img, int W,
                          int H, unsigned char gray) {
+    // Anti-aliased nonzero fill: 4 vertical subsamples per scanline with
+    // exact horizontal coverage, blended over the framebuffer — small
+    // glyphs (12pt text at model DPI) keep their shape instead of
+    // thresholding to blobs, matching what standard rasterizers feed OCR.
     double ymin = 1e18, ymax = -1e18;
     for (auto& e : edges) {
       ymin = std::min(ymin, std::min(e.y0, e.y1));
@@ -364,32 +368,54 @@ class TtfFont {
     }
     int y0 = std::max(0, static_cast<int>(floor(ymin)));
     int y1 = std::min(H - 1, static_cast<int>(ceil(ymax)));
-    std::vector<std::pair<double, int>> xw;  // crossing x, winding dir
+    if (y1 < y0) return;
+    const int SS = 4;
+    std::vector<std::pair<double, int>> xw;
+    std::vector<double> cov(W, 0.0);
     for (int y = y0; y <= y1; y++) {
-      double sy = y + 0.5;
-      xw.clear();
-      for (auto& e : edges) {
-        double ey0 = e.y0, ey1 = e.y1, ex0 = e.x0, ex1 = e.x1;
-        int dir = 1;
-        if (ey0 > ey1) { std::swap(ey0, ey1); std::swap(ex0, ex1); dir = -1; }
-        if (sy < ey0 || sy >= ey1) continue;
-        double t = (sy - ey0) / (ey1 - ey0);
-        xw.push_back({ex0 + t * (ex1 - ex0), dir});
-      }
-      if (xw.empty()) continue;
-      std::sort(xw.begin(), xw.end());
-      int wind = 0;
-      double span_x = 0;
-      for (auto& [x, dir] : xw) {
-        if (wind == 0) span_x = x;
-        wind += dir;
-        if (wind == 0) {
-          int xa = std::max(0, static_cast<int>(ceil(span_x - 0.5)));
-          int xb = std::min(W - 1, static_cast<int>(floor(x - 0.5)));
-          for (int px = xa; px <= xb; px++) {
-            unsigned char* q = img + (static_cast<long>(y) * W + px) * 3;
-            q[0] = gray; q[1] = gray; q[2] = gray;
+      std::fill(cov.begin(), cov.end(), 0.0);
+      for (int sub = 0; sub < SS; sub++) {
+        double sy = y + (sub + 0.5) / SS;
+        xw.clear();
+        for (auto& e : edges) {
+          double ey0 = e.y0, ey1 = e.y1, ex0 = e.x0, ex1 = e.x1;
+          int dir = 1;
+          if (ey0 > ey1) { std::swap(ey0, ey1); std::swap(ex0, ex1); dir = -1; }
+          if (sy < ey0 || sy >= ey1) continue;
+          double t = (sy - ey0) / (ey1 - ey0);
+          xw.push_back({ex0 + t * (ex1 - ex0), dir});
+        }
+        if (xw.empty()) continue;
+        std::sort(xw.begin(), xw.end());
+        int wind = 0;
+        double span_x = 0;
+        for (auto& [x, dir] : xw) {
+          if (wind == 0) span_x = x;
+          wind += dir;
+          if (wind == 0) {
+            double xa = std::max(0.0, span_x);
+            double xb = std::min(static_cast<double>(W), x);
+            if (xb <= xa) continue;
+            int ixa = static_cast<int>(floor(xa));
+            int ixb = static_cast<int>(floor(xb - 1e-9));
+            if (ixa == ixb) {
+              cov[ixa] += (xb - xa) / SS;
+            } else {
+              cov[ixa] += (ixa + 1 - xa) / SS;
+              for (int px = ixa + 1; px < ixb; px++) cov[px] += 1.0 / SS;
+              cov[ixb] += (xb - ixb) / SS;
+            }
           }
+        }
+      }
+      for (int px = 0; px < W; px++) {
+        double c = cov[px];
+        if (c <= 0.002) continue;
+        if (c > 1.0) c = 1.0;
+        unsigned char* q = img + (static_cast<long>(y) * W + px) * 3;
+        for (int ch = 0; ch < 3; ch++) {
+          double v = q[ch] * (1.0 - c) + gray * c;
+          q[ch] = static_cast<unsigned char>(v < 0 ? 0 : (v > 255 ? 255 : v));
         }
       }
     }
