@@ -2466,38 +2466,21 @@ static void draw_glyph(unsigned char* img, int W, int H, double x, double y,
   if (gh < 1) gh = 1;
   int x0 = static_cast<int>(x);
   int y0 = static_cast<int>(y - gh * 0.75);  // baseline ~3/4 down the cell
-  // Area-averaged sampling of the 1-bit cell: fractional coverage blends
-  // with the framebuffer, so scaled glyphs are anti-aliased like the
-  // embedded-font rasterizers (training pages render through this font).
   for (int py = 0; py < gh; py++) {
     int iy = y0 + py;
     if (iy < 0 || iy >= H) continue;
-    double fy0 = py / sy, fy1 = (py + 1) / sy;
+    int srcy = static_cast<int>(py / sy);
+    if (srcy >= kGlyphH) srcy = kGlyphH - 1;
     for (int px = 0; px < gw; px++) {
       int ix = x0 + px;
       if (ix < 0 || ix >= W) continue;
-      double fx0 = px / sx, fx1 = (px + 1) / sx;
-      // Coverage = fraction of the source-cell area under this device px.
-      double cov = 0, area = 0;
-      for (int syi = static_cast<int>(fy0);
-           syi <= static_cast<int>(ceil(fy1)) - 1 && syi < kGlyphH; syi++) {
-        double hy = std::min<double>(fy1, syi + 1) - std::max<double>(fy0, syi);
-        if (hy <= 0) continue;
-        for (int sxi = static_cast<int>(fx0);
-             sxi <= static_cast<int>(ceil(fx1)) - 1 && sxi < kGlyphW; sxi++) {
-          double hx =
-              std::min<double>(fx1, sxi + 1) - std::max<double>(fx0, sxi);
-          if (hx <= 0) continue;
-          area += hx * hy;
-          if (glyph[syi] & (0x80 >> sxi)) cov += hx * hy;
-        }
-      }
-      if (area <= 0 || cov <= 0) continue;
-      double c = cov / area;
-      unsigned char* p = img + (static_cast<long>(iy) * W + ix) * 3;
-      for (int ch = 0; ch < 3; ch++) {
-        double v = p[ch] * (1.0 - c) + gray * c;
-        p[ch] = static_cast<unsigned char>(v < 0 ? 0 : (v > 255 ? 255 : v));
+      int srcx = static_cast<int>(px / sx);
+      if (srcx >= kGlyphW) srcx = kGlyphW - 1;
+      if (glyph[srcy] & (0x80 >> srcx)) {
+        unsigned char* p = img + (static_cast<long>(iy) * W + ix) * 3;
+        p[0] = gray;
+        p[1] = gray;
+        p[2] = gray;
       }
     }
   }
