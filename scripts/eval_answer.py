@@ -61,7 +61,7 @@ def _extractive_answer_for_pack(question: str, evidence_pack: str) -> str:
     )
 
 
-def _eval_agg(runner, rng, n_examples: int) -> None:
+def _eval_agg(runner, rng, n_examples: int, sentence_pool=None) -> None:
     from vision_compression_project_tpu.train.data import (
         _synthetic_agg_qa_example,
     )
@@ -70,7 +70,9 @@ def _eval_agg(runner, rng, n_examples: int) -> None:
     lm_cited = 0.0
     sample = None
     for _ in range(n_examples):
-        q, ev, teacher, facts = _synthetic_agg_qa_example(rng)
+        q, ev, teacher, facts = _synthetic_agg_qa_example(
+            rng, sentence_pool=sentence_pool
+        )
         got = runner.answer(q, ev).strip()
         extractive = _extractive_answer_for_pack(q, ev)
         lm_ok += _agg_keyfact_ok(got, facts)
@@ -112,6 +114,11 @@ def main():
         "scored head-to-head against the extractive engine (which cannot "
         "produce an aggregate — it only quotes sentences)",
     )
+    parser.add_argument(
+        "--data", choices=["words", "real"], default="words",
+        help="evidence distribution: 'real' draws HELD-OUT real-language "
+        "corpus sentences (the serve-time /chat distribution)",
+    )
     args = parser.parse_args()
 
     from vision_compression_project_tpu.models import get_preset
@@ -120,13 +127,23 @@ def main():
 
     rng = np.random.default_rng(args.seed)
 
+    pool = None
+    if args.data == "real":
+        from vision_compression_project_tpu.train.data import qa_sentence_pool
+
+        # Held-out split: sentences the answer hop never trained on.
+        pool = qa_sentence_pool("heldout")
+
     runner = load_runner(
         get_preset(args.preset), args.ckpt_dir, max_new_default=args.max_new
     )
     if args.task == "agg":
-        _eval_agg(runner, rng, args.examples)
+        _eval_agg(runner, rng, args.examples, sentence_pool=pool)
         return
-    examples = [_synthetic_qa_example(rng) for _ in range(args.examples)]
+    examples = [
+        _synthetic_qa_example(rng, sentence_pool=pool)
+        for _ in range(args.examples)
+    ]
     sims, cited = [], 0
     sample = None
     for question, evidence, teacher in examples:

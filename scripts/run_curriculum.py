@@ -65,7 +65,11 @@ def _eval_similarity(preset, ckpt_dir, stage, pages, dry):
         ["scripts/eval_extract.py", "--preset", preset, "--ckpt_dir",
          ckpt_dir, "--data", "real", "--pages", pages,
          "--font_size", stage["font_size"], "--lines", stage["lines"],
-         "--dpi", stage["dpi"], "--json_out", out],
+         # Decode budget must cover the stage's full target length: dense
+         # stages (30 lines of prose) are ~1000 BPE tokens of markdown, so
+         # the eval_extract default (256) would truncate every output and
+         # cap similarity near 0.3 regardless of model quality.
+         "--dpi", stage["dpi"], "--max_new", 1024, "--json_out", out],
         Path(ckpt_dir) / "eval.log", dry,
     )
     if rc != 0 or not out.exists():
@@ -145,6 +149,22 @@ def main():
         print(f"{stage['name']}_e{ext}: similarity {sim:.3f}")
         state["init_from"] = str(ckpt_dir)  # next run warm-starts here
         if sim >= args.advance_at:
+            # Ship every stage that clears the bar, with ITS OWN render in
+            # meta.json: if the budget dies mid-curriculum, the shipped
+            # default is still the best VERIFIED capability (bench.py's
+            # quality gate then scores it at the render it actually reads),
+            # and later stages simply overwrite with better renders.
+            _run(
+                ["scripts/ship_checkpoint.py", "--preset", args.preset,
+                 "--ckpt_dir", ckpt_dir,
+                 "--font_size", stage["font_size"],
+                 "--lines", stage["lines"], "--dpi", stage["dpi"],
+                 "--data", "real", "--tasks", "extract", "--steps", 0,
+                 "--note",
+                 f"curriculum {stage['name']}_e{ext} sim={sim:.3f}"],
+                out_root / "ship.log", args.dry_run,
+            )
+            print(f"shipped {stage['name']}_e{ext} (sim {sim:.3f})")
             state["stage"] += 1
             state["extension"] = 0
         else:

@@ -34,6 +34,12 @@ def main():
         "generator (counts/totals/superlatives the extractive engine "
         "cannot produce; train/data.py::_synthetic_agg_qa_example)",
     )
+    parser.add_argument(
+        "--qa_data", choices=["words", "real", "mixed"], default="words",
+        help="evidence-sentence distribution for the answer task: 'real' "
+        "uses the real-language corpus (what /chat sees at serve time), "
+        "'mixed' alternates 50/50 (train/data.py::qa_batches)",
+    )
     parser.add_argument("--init_from", default=None)
     parser.add_argument("--ckpt_dir", default="checkpoints/vlm_qa")
     parser.add_argument("--ckpt_every", type=int, default=500)
@@ -82,7 +88,7 @@ def main():
     answer_data = prefetch_batches(
         qa_batches(
             cfg, args.batch, text_len=args.text_len, seed=args.seed + 7,
-            agg_frac=args.agg_frac,
+            agg_frac=args.agg_frac, data_kind=args.qa_data,
         )
     )
     t_start = time.time()

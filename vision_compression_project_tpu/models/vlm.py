@@ -311,6 +311,11 @@ class VLMRunner:
         if not has_vision:
             dim = self.cfg.decoder.dim
             vision_emb = jnp.zeros((b, 0, dim), _dtype(self.cfg.decoder.dtype))
+        # The decode position must stay inside the model context: past
+        # max_seq the dynamic_update_slice cache write clamps and silently
+        # corrupts the last KV slot, so a too-large budget is truncated,
+        # never allowed to wrap.
+        max_new = max(1, min(max_new, self.cfg.decoder.max_seq - vis_len - plen))
         # Right-size the KV cache to this generation (128-aligned), bounded
         # by the model context; decode cost scales with this, not max_seq.
         cache_len = min(

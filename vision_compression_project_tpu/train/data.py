@@ -14,6 +14,7 @@ real scanned corpora slots into the same iterator interface.
 
 from __future__ import annotations
 
+import re
 import tempfile
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional
@@ -227,28 +228,56 @@ def device_batch(runner_or_cfg, batch: Dict[str, np.ndarray]) -> Dict:
 # ---------------------------------------------------------------------------
 
 
-def _synthetic_qa_example(rng: np.random.Generator, doc_id: str = "doc"):
+def qa_sentence_pool(split: str = "train", max_chars: int = 120) -> List[str]:
+    """Real-language sentences short enough for evidence packs (the full
+    corpus allows 220-char sentences; 3-5 pages of those would blow the
+    answer-task token budget before the target sentence even appears)."""
+    from .corpus import corpus_sentences
+
+    return [s for s in corpus_sentences(split) if len(s) <= max_chars]
+
+
+def _qa_page_sentences(
+    rng: np.random.Generator, n: int, sentence_pool: Optional[List[str]]
+) -> List[str]:
+    """n evidence sentences: CONSECUTIVE real-corpus prose when a pool is
+    given (reads like an actual document page, the distribution /chat sees
+    at serve time — VERDICT r2 item 4 measured the synthetic-only model
+    degrading on exactly this), else the legacy word-soup generator."""
+    if sentence_pool:
+        start = int(rng.integers(0, len(sentence_pool)))
+        return [sentence_pool[(start + i) % len(sentence_pool)] for i in range(n)]
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(5, 10))
+        out.append((" ".join(rng.choice(_WORDS, size=k)) + ".").capitalize())
+    return out
+
+
+def _synthetic_qa_example(
+    rng: np.random.Generator,
+    doc_id: str = "doc",
+    sentence_pool: Optional[List[str]] = None,
+):
     """One (question, evidence_pack, answer_md) triple.
 
-    Pages are synthetic sentences; the question targets one specific
-    sentence's content words; the teacher answer is the citation format the
-    extractive engine emits (pipeline/qa.py:_compose_extractive_answer) with
-    the target sentence as the claim — so the LM learns the full serve-time
-    contract: select the relevant evidence sentence, quote it, cite its
-    page, in markdown."""
+    Pages are synthetic or real-corpus sentences (sentence_pool); the
+    question targets one specific sentence's content words; the teacher
+    answer is the citation format the extractive engine emits
+    (pipeline/qa.py:_compose_extractive_answer) with the target sentence as
+    the claim — so the LM learns the full serve-time contract: select the
+    relevant evidence sentence, quote it, cite its page, in markdown."""
     n_pages = int(rng.integers(2, 5))
     pages = []
     for _ in range(n_pages):
         n_sent = int(rng.integers(2, 5))
-        sents = []
-        for _ in range(n_sent):
-            n = int(rng.integers(5, 10))
-            sents.append((" ".join(rng.choice(_WORDS, size=n)) + ".").capitalize())
-        pages.append(sents)
+        pages.append(_qa_page_sentences(rng, n_sent, sentence_pool))
     tp = int(rng.integers(0, n_pages))         # target page index
     ts = int(rng.integers(0, len(pages[tp])))  # target sentence index
     target = pages[tp][ts]
-    content_words = [w for w in target[:-1].lower().split() if len(w) > 3][:4]
+    content_words = [
+        w for w in re.findall(r"[a-z]+", target.lower()) if len(w) > 3
+    ][:4]
     question = "What about " + " ".join(content_words) + "?"
     page_numbers = list(range(1, n_pages + 1))
     parts = []
@@ -269,7 +298,11 @@ _AGG_NAMES = (
 _AGG_ITEMS = ("units", "samples", "reports", "devices", "queries", "errors")
 
 
-def _synthetic_agg_qa_example(rng: np.random.Generator, doc_id: str = "doc"):
+def _synthetic_agg_qa_example(
+    rng: np.random.Generator,
+    doc_id: str = "doc",
+    sentence_pool: Optional[List[str]] = None,
+):
     """One AGGREGATION QA example: (question, evidence_pack, answer_md,
     facts).  The answer is a count / total / superlative over facts spread
     across pages — a statement that appears in NO evidence sentence, so the
@@ -288,7 +321,15 @@ def _synthetic_agg_qa_example(rng: np.random.Generator, doc_id: str = "doc"):
         # Unique maximum, or "which produced the most" has no single answer.
         j = int(rng.integers(0, n_pages))
         values[j] = int(values.max()) + int(rng.integers(1, 10))
-    topic = str(rng.choice(_WORDS))
+    if sentence_pool:
+        # Topic word drawn from real prose so the mention sentence and the
+        # question share the corpus vocabulary, not the 28-word soup.
+        cand = re.findall(
+            r"[a-z]{5,}", sentence_pool[int(rng.integers(0, len(sentence_pool)))].lower()
+        )
+        topic = cand[int(rng.integers(0, len(cand)))] if cand else str(rng.choice(_WORDS))
+    else:
+        topic = str(rng.choice(_WORDS))
     mention = rng.random(n_pages) < 0.5
     if kind == "count":
         while not 0 < mention.sum():  # at least one page must mention it
@@ -303,11 +344,7 @@ def _synthetic_agg_qa_example(rng: np.random.Generator, doc_id: str = "doc"):
         if mention[i]:
             sents.append(f"The {topic} module is covered in this section.")
         n_fill = int(rng.integers(1, 3))
-        for _ in range(n_fill):
-            n = int(rng.integers(5, 9))
-            sents.append(
-                (" ".join(rng.choice(_WORDS, size=n)) + ".").capitalize()
-            )
+        sents += _qa_page_sentences(rng, n_fill, sentence_pool)
         rng.shuffle(sents)
         pages.append(" ".join(sents))
 
@@ -359,6 +396,7 @@ def qa_batches(
     text_len: int = 512,
     seed: int = 0,
     agg_frac: float = 0.0,
+    data_kind: str = "words",
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Text-only answer-task batches shaped for the SAME train step as page
     extraction (blank pages ride the vision tower so one checkpoint serves
@@ -370,12 +408,18 @@ def qa_batches(
 
     agg_frac: fraction of examples drawn from the AGGREGATION generator
     (counts/totals/superlatives across pages, _synthetic_agg_qa_example) —
-    supervision the extractive engine cannot imitate."""
+    supervision the extractive engine cannot imitate.
+
+    data_kind: 'words' = legacy soup sentences; 'real' = real-corpus
+    evidence prose (qa_sentence_pool); 'mixed' = 50/50 per example.  Real
+    evidence is what /chat actually sees at serve time — the synthetic-only
+    model was MEASURED to ignore real-language evidence (round-3 status)."""
     from ..models.tokenizer import TASK_ANSWER_ID
 
     rng = np.random.default_rng(seed)
     tok = get_tokenizer(cfg)
     text_len = min(text_len, cfg.decoder.max_seq - cfg.vision.tokens_out - 1)
+    pool = qa_sentence_pool("train") if data_kind in ("real", "mixed") else None
     blank = np.full((batch_size, 64, 64, 3), 255, np.uint8)
     while True:
         tokens = np.full((batch_size, text_len), PAD_ID, np.int32)
@@ -384,16 +428,31 @@ def qa_batches(
         # it drowns the answer-format gradient ~10:1 otherwise.
         loss_mask = np.zeros((batch_size, text_len), np.int32)
         for i in range(batch_size):
-            if rng.random() < agg_frac:
-                q, ev, ans, _ = _synthetic_agg_qa_example(rng)
-            else:
-                q, ev, ans = _synthetic_qa_example(rng)
-            ids: List[int] = [BOS_ID, TASK_ANSWER_ID]
-            ids += tok.encode(q)
-            ids.append(SEP_ID)
-            ev_ids = tok.encode(ev)
-            ans_ids = tok.encode(ans) + [EOS_ID]
-            budget = text_len - len(ids) - len(ans_ids) - 1
+            use_pool = pool if (
+                data_kind == "real"
+                or (data_kind == "mixed" and rng.random() < 0.5)
+            ) else None
+            # Resample when the evidence overflows its token budget: plain
+            # truncation could cut the TARGET sentence out of the pack,
+            # supervising the model to answer from missing evidence (real
+            # corpus sentences are 5-20x longer than the soup ones).
+            for _attempt in range(6):
+                if rng.random() < agg_frac:
+                    q, ev, ans, _ = _synthetic_agg_qa_example(
+                        rng, sentence_pool=use_pool
+                    )
+                else:
+                    q, ev, ans = _synthetic_qa_example(
+                        rng, sentence_pool=use_pool
+                    )
+                ids: List[int] = [BOS_ID, TASK_ANSWER_ID]
+                ids += tok.encode(q)
+                ids.append(SEP_ID)
+                ev_ids = tok.encode(ev)
+                ans_ids = tok.encode(ans) + [EOS_ID]
+                budget = text_len - len(ids) - len(ans_ids) - 1
+                if len(ev_ids) <= budget:
+                    break
             ids += ev_ids[: max(0, budget)]
             ids.append(SEP_ID)
             answer_start = len(ids)  # first answer token index
