@@ -12,7 +12,9 @@ of well-formed citations."""
 
 import argparse
 import difflib
+import json
 import re
+from pathlib import Path
 
 import _bootstrap  # noqa: F401
 
@@ -61,7 +63,7 @@ def _extractive_answer_for_pack(question: str, evidence_pack: str) -> str:
     )
 
 
-def _eval_agg(runner, rng, n_examples: int, sentence_pool=None) -> None:
+def _eval_agg(runner, rng, n_examples: int, sentence_pool=None) -> dict:
     from vision_compression_project_tpu.train.data import (
         _synthetic_agg_qa_example,
     )
@@ -92,6 +94,13 @@ def _eval_agg(runner, rng, n_examples: int, sentence_pool=None) -> None:
     print(f"teacher:    {t!r}")
     print(f"lm:         {g!r}")
     print(f"extractive: {e!r}")
+    return {
+        "task": "agg",
+        "examples": n_examples,
+        "lm_keyfact_accuracy": lm_ok / n_examples,
+        "extractive_keyfact_accuracy": ex_ok / n_examples,
+        "lm_citation_coverage": lm_cited / n_examples,
+    }
 
 
 def main():
@@ -119,6 +128,11 @@ def main():
         help="evidence distribution: 'real' draws HELD-OUT real-language "
         "corpus sentences (the serve-time /chat distribution)",
     )
+    parser.add_argument(
+        "--json_out", default=None,
+        help="write machine-readable results here (the unattended answer-"
+        "hop driver gates shipping on these numbers)",
+    )
     args = parser.parse_args()
 
     from vision_compression_project_tpu.models import get_preset
@@ -138,7 +152,9 @@ def main():
         get_preset(args.preset), args.ckpt_dir, max_new_default=args.max_new
     )
     if args.task == "agg":
-        _eval_agg(runner, rng, args.examples, sentence_pool=pool)
+        result = _eval_agg(runner, rng, args.examples, sentence_pool=pool)
+        if args.json_out:
+            Path(args.json_out).write_text(json.dumps(result, indent=1))
         return
     examples = [
         _synthetic_qa_example(rng, sentence_pool=pool)
@@ -162,6 +178,14 @@ def main():
     print(f"\nsample question: {q}")
     print(f"teacher: {t!r}")
     print(f"generated: {g!r}")
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps({
+            "task": "imitate",
+            "examples": args.examples,
+            "similarity_mean": float(np.mean(sims)),
+            "similarity_min": float(min(sims)),
+            "citation_rate": cited / args.examples,
+        }, indent=1))
 
 
 if __name__ == "__main__":
