@@ -88,7 +88,7 @@ def main():
     parser.add_argument("--lines", type=int, default=6)
     parser.add_argument("--max_new", type=int, default=256)
     parser.add_argument(
-        "--data", choices=["words", "real", "golden", "golden_png"],
+        "--data", choices=["words", "real", "golden", "golden_png", "jumble"],
         default="words",
         help="real: held-out real-language prose pages (corpus split never "
         "seen in training) — the VERDICT r2 generalization eval; golden: "
@@ -120,6 +120,18 @@ def main():
                 rng, lines=args.lines, font_size=args.font_size,
                 split=split,
             )
+            for _ in range(args.pages)
+        ]
+    elif args.data == "jumble":
+        # Fresh random word sequences: train-vocab words but unseen order,
+        # so similarity here measures READING, with no language prior or
+        # corpus memorization to lean on (train/corpus.py::jumble_page_text).
+        from vision_compression_project_tpu.train.corpus import (
+            jumble_page_text,
+        )
+
+        texts = [
+            jumble_page_text(rng, lines=args.lines, font_size=args.font_size)
             for _ in range(args.pages)
         ]
     else:

@@ -16,12 +16,21 @@ round-4 playbook from docs/ROUND3_STATUS.md as ONE command:
   python scripts/run_curriculum.py --out checkpoints/r4 \
       --init_from checkpoints/r3/hopA --budget_hours 8
 
-The default stages implement the font-size curriculum (memory/recipe:
-glyph px after resize ~ 1.29 x font_pt at the 1024px preset; hops shrink
-the font by <= ~2x per stage):
-  hopA  font 48 / lines 6  / dpi 93  (resume of round 3's interrupted hop)
-  hopB  font 24 / lines 14 / dpi 93
-  hopC  font 12 / lines 30 / dpi 150 (the VERDICT target render)
+The default stages implement the READ-FIRST curriculum.  Measured failure
+it replaces (r4 hopA, 7500 steps on consecutive-sentence prose): the
+decoder memorized the 18k-sentence corpus instead of reading — teacher-
+forced loss fell to 0.82 while swapping in the WRONG page's image cost
+only ~0.1 nats, and eval similarity stayed at 0.22.  Jumble pages
+(independently random corpus words, train/corpus.py::jumble_page_text)
+remove the memorization shortcut: loss below the ~8 nats/word vocabulary
+entropy is only reachable by reading pixels.  Once reading exists, prose
+stages mix jumble pages in (--jumble_frac) so the shortcut never pays
+again.  Font hops follow the recipe: glyph px after resize ~ 1.29 x
+font_pt at the 1024px preset; shrink the font <= ~2x per stage.
+  readA  jumble 100% font 48 / lines 6  / dpi 93  (the forced dive)
+  readB  jumble 100% font 24 / lines 14 / dpi 93
+  mixC   real+jumble 50% font 24 / lines 14 / dpi 93
+  denseD real+jumble 25% font 12 / lines 30 / dpi 150 (VERDICT render)
 """
 
 import argparse
@@ -36,12 +45,25 @@ import _bootstrap  # noqa: F401
 REPO = Path(__file__).resolve().parent.parent
 
 DEFAULT_STAGES = [
-    {"name": "hopA", "font_size": 48, "lines": 6, "dpi": 93,
-     "steps": 2500, "max_steps": 7500, "lr": 1.5e-3, "text_len": 1023},
-    {"name": "hopB", "font_size": 24, "lines": 14, "dpi": 93,
-     "steps": 3000, "max_steps": 9000, "lr": 1.2e-3, "text_len": 1023},
-    {"name": "hopC", "font_size": 12, "lines": 30, "dpi": 150,
-     "steps": 3000, "max_steps": 9000, "lr": 1.0e-3, "text_len": 1023},
+    # kind/jumble_frac: training distribution; eval_data: what similarity
+    # gates the stage (jumble stages gate on reading, prose on real text);
+    # ship: only prose-capable stages publish a serving default.
+    {"name": "readA", "font_size": 48, "lines": 6, "dpi": 93,
+     "steps": 2500, "max_steps": 12500, "lr": 1e-3, "text_len": 255,
+     "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
+     "ship": False},
+    {"name": "readB", "font_size": 24, "lines": 14, "dpi": 93,
+     "steps": 2500, "max_steps": 10000, "lr": 8e-4, "text_len": 511,
+     "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
+     "ship": False},
+    {"name": "mixC", "font_size": 24, "lines": 14, "dpi": 93,
+     "steps": 2500, "max_steps": 10000, "lr": 8e-4, "text_len": 511,
+     "kind": "real", "jumble_frac": 0.5, "eval_data": "real",
+     "ship": True},
+    {"name": "denseD", "font_size": 12, "lines": 30, "dpi": 150,
+     "steps": 3000, "max_steps": 12000, "lr": 6e-4, "text_len": 1023,
+     "kind": "real", "jumble_frac": 0.25, "eval_data": "real",
+     "ship": True},
 ]
 
 
@@ -63,7 +85,8 @@ def _eval_similarity(preset, ckpt_dir, stage, pages, dry):
     out = Path(ckpt_dir) / "eval.json"
     rc = _run(
         ["scripts/eval_extract.py", "--preset", preset, "--ckpt_dir",
-         ckpt_dir, "--data", "real", "--pages", pages,
+         ckpt_dir, "--data", stage.get("eval_data", "real"),
+         "--pages", pages,
          "--font_size", stage["font_size"], "--lines", stage["lines"],
          # Decode budget must cover the stage's full target length: dense
          # stages (30 lines of prose) are ~1000 BPE tokens of markdown, so
@@ -123,7 +146,9 @@ def main():
             return
         cmd = [
             "scripts/train_vlm.py", "--preset", args.preset,
-            "--data", "real", "--steps", steps, "--batch", args.batch,
+            "--data", stage.get("kind", "real"),
+            "--jumble_frac", stage.get("jumble_frac", 0.0),
+            "--steps", steps, "--batch", args.batch,
             "--lr", stage["lr"], "--font_size", stage["font_size"],
             "--lines", stage["lines"], "--dpi", stage["dpi"],
             "--text_len", stage["text_len"],
@@ -149,22 +174,28 @@ def main():
         print(f"{stage['name']}_e{ext}: similarity {sim:.3f}")
         state["init_from"] = str(ckpt_dir)  # next run warm-starts here
         if sim >= args.advance_at:
-            # Ship every stage that clears the bar, with ITS OWN render in
-            # meta.json: if the budget dies mid-curriculum, the shipped
-            # default is still the best VERIFIED capability (bench.py's
-            # quality gate then scores it at the render it actually reads),
-            # and later stages simply overwrite with better renders.
-            _run(
-                ["scripts/ship_checkpoint.py", "--preset", args.preset,
-                 "--ckpt_dir", ckpt_dir,
-                 "--font_size", stage["font_size"],
-                 "--lines", stage["lines"], "--dpi", stage["dpi"],
-                 "--data", "real", "--tasks", "extract", "--steps", 0,
-                 "--note",
-                 f"curriculum {stage['name']}_e{ext} sim={sim:.3f}"],
-                out_root / "ship.log", args.dry_run,
-            )
-            print(f"shipped {stage['name']}_e{ext} (sim {sim:.3f})")
+            # Ship every PROSE stage that clears the bar, with ITS OWN
+            # render in meta.json: if the budget dies mid-curriculum, the
+            # shipped default is still the best VERIFIED capability
+            # (bench.py's quality gate then scores it at the render it
+            # actually reads), and later stages simply overwrite with
+            # better renders.  Jumble (read-skill) stages never ship: they
+            # gate reading, not a serving-useful prose model.
+            if stage.get("ship", True):
+                _run(
+                    ["scripts/ship_checkpoint.py", "--preset", args.preset,
+                     "--ckpt_dir", ckpt_dir,
+                     "--font_size", stage["font_size"],
+                     "--lines", stage["lines"], "--dpi", stage["dpi"],
+                     "--data", "real", "--tasks", "extract", "--steps", 0,
+                     "--note",
+                     f"curriculum {stage['name']}_e{ext} sim={sim:.3f}"],
+                    out_root / "ship.log", args.dry_run,
+                )
+                print(f"shipped {stage['name']}_e{ext} (sim {sim:.3f})")
+            else:
+                print(f"advanced {stage['name']}_e{ext} (sim {sim:.3f}, "
+                      "no ship: read-skill stage)")
             state["stage"] += 1
             state["extension"] = 0
         else:

@@ -25,9 +25,18 @@ def main():
     parser.add_argument("--lines", type=int, default=18)
     parser.add_argument(
         "--data",
-        choices=["words", "words_easy", "codes", "codes_easy", "real"],
+        choices=["words", "words_easy", "codes", "codes_easy", "real",
+                 "jumble"],
         default="words",
-        help="codes: random digit pages — loss below ln(10)/digit proves OCR",
+        help="codes: random digit pages — loss below ln(10)/digit proves "
+        "OCR; jumble: independently random corpus words (real-language "
+        "glyphs, no language prior to shortcut through)",
+    )
+    parser.add_argument(
+        "--jumble_frac", type=float, default=0.0,
+        help="with --data real: fraction of pages drawn from the jumble "
+        "generator instead, keeping the reading gradient alive while the "
+        "model learns prose (anti-memorization mix)",
     )
     parser.add_argument("--code_groups", type=int, default=3)
     parser.add_argument("--code_digits", type=int, default=5)
@@ -98,7 +107,7 @@ def main():
             cfg, args.batch, text_len=args.text_len, dpi=args.dpi,
             seed=args.seed, font_size=args.font_size, lines=args.lines,
             kind=args.data, code_groups=args.code_groups,
-            code_digits=args.code_digits,
+            code_digits=args.code_digits, jumble_frac=args.jumble_frac,
         )
     )
     t_start = time.time()

@@ -1,0 +1,77 @@
+"""Jumble (anti-memorization) training data: random corpus-word pages.
+
+Round-3 diagnosis these tests pin down: prose pages of consecutive corpus
+sentences are memorizable (teacher-forced loss fell to 0.82 while the
+model extracted ~0.1 nats of page-specific signal), so the OCR gradient
+starved.  Jumble pages have no exploitable sequence statistics — reading
+is the only way down — while keeping real-language glyphs and layout.
+"""
+
+import numpy as np
+import pytest
+
+from vision_compression_project_tpu.models.configs import get_preset
+from vision_compression_project_tpu.train.corpus import (
+    chars_per_line,
+    corpus_vocabulary,
+    jumble_page_text,
+)
+from vision_compression_project_tpu.train.data import synthetic_batches
+
+
+def test_vocabulary_is_real_words():
+    vocab = corpus_vocabulary()
+    assert len(vocab) > 1000
+    assert all(w.isalpha() for w in vocab[:200])
+    assert vocab == sorted(vocab)  # deterministic order
+
+
+def test_jumble_page_wraps_and_is_deterministic():
+    t1 = jumble_page_text(np.random.default_rng(7), lines=6, font_size=48)
+    t2 = jumble_page_text(np.random.default_rng(7), lines=6, font_size=48)
+    assert t1 == t2
+    width = chars_per_line(48)
+    body = t1.split("\n")
+    assert all(len(line) <= width for line in body)
+    assert 2 <= len(body) <= 8  # title + <= 6 body lines (+ blank seps)
+
+
+def test_jumble_pages_do_not_repeat():
+    rng = np.random.default_rng(0)
+    pages = {jumble_page_text(rng, lines=6, font_size=24) for _ in range(8)}
+    assert len(pages) == 8  # unmemorizable: every page is fresh content
+
+
+def test_jumble_batches_render():
+    cfg = get_preset("tiny")
+    it = synthetic_batches(
+        cfg, 2, text_len=96, dpi=20, seed=3, font_size=24, lines=3,
+        kind="jumble",
+    )
+    b = next(it)
+    assert b["pages_u8"].ndim == 4 and b["pages_u8"].dtype == np.uint8
+    ink = (b["pages_u8"] < 128).mean()
+    assert ink > 0.001  # pages actually carry glyphs
+    assert b["token_ids"].shape == (2, 96)
+
+
+def test_real_batches_mix_jumble_pages():
+    cfg = get_preset("tiny")
+    kw = dict(text_len=96, dpi=20, seed=3, font_size=24, lines=3)
+    pure = next(iter(synthetic_batches(cfg, 4, kind="real", **kw)))
+    mixed = next(
+        iter(synthetic_batches(cfg, 4, kind="real", jumble_frac=1.0, **kw))
+    )
+    # jumble_frac=1.0 must change every page's target tokens vs the pure
+    # real stream at the same seed (the generators draw different text).
+    assert not np.array_equal(pure["token_ids"], mixed["token_ids"])
+
+
+@pytest.mark.parametrize("frac", [0.0, 0.5])
+def test_mix_fraction_accepted(frac):
+    cfg = get_preset("tiny")
+    it = synthetic_batches(
+        cfg, 2, text_len=64, dpi=20, seed=1, font_size=24, lines=2,
+        kind="real", jumble_frac=frac,
+    )
+    assert next(it)["pages_u8"].shape[0] == 2

@@ -160,6 +160,84 @@ def corpus_sentences(split: str = "train") -> List[str]:
     return _sentences_cache[split]
 
 
+def corpus_vocabulary(min_len: int = 2, max_len: int = 14) -> List[str]:
+    """Unique words of the training sentence pool, sorted (deterministic).
+
+    The word inventory for jumble pages: real-language glyph/word shapes
+    without real-language *sequence* statistics."""
+    if "vocab" not in _sentences_cache:
+        seen = set()
+        for s in corpus_sentences("train"):
+            for w in s.split():
+                w = w.strip(".,;:!?()'\"")
+                if min_len <= len(w) <= max_len and w.isalpha():
+                    seen.add(w)
+        _sentences_cache["vocab"] = sorted(seen)
+    return _sentences_cache["vocab"]
+
+
+def jumble_page_text(
+    rng: np.random.Generator,
+    lines: int = 30,
+    font_size: int = 12,
+    split: str = "train",  # unused; signature-compatible with real_page_text
+    min_words: int = 0,
+    max_words: int = 0,
+    title_words: int = 3,
+) -> str:
+    """A page of INDEPENDENTLY random corpus words — unmemorizable content.
+
+    The diagnosis this exists for (round 3): training pages of consecutive
+    corpus sentences let the decoder reach low loss by memorizing the 18k-
+    sentence pool while ignoring the pixels (measured: shuffling which page
+    image accompanies the text moved teacher-forced loss only 0.74->0.85,
+    i.e. ~0.1 nats of page-specific signal after 7500 steps).  Random word
+    sequences have no language prior to exploit — every nat of loss below
+    the vocabulary entropy (~8 nats/word) must come from READING — while
+    keeping the exact glyph distribution, wrapping, bullets and paragraph
+    layout of real pages, so the skill transfers to prose stages."""
+    vocab = corpus_vocabulary()
+    lines = min(lines, max_lines_for_font(font_size))
+    width = chars_per_line(font_size)
+
+    def rand_words(n: int) -> List[str]:
+        idx = rng.integers(0, len(vocab), size=n)
+        return [vocab[int(i)] for i in idx]
+
+    title = " ".join(
+        w.capitalize() for w in rand_words(int(title_words))
+    )[:width][:60].rstrip(".")
+
+    out_lines: List[str] = []
+    while len(out_lines) < lines:
+        budget = lines - len(out_lines)
+        if rng.random() < 0.12:
+            sent = "Value {a}.{b} of {c} in {year}.".format(
+                a=int(rng.integers(1, 100)), b=int(rng.integers(0, 10)),
+                c=int(rng.integers(1, 1000)), year=int(rng.integers(1990, 2027)),
+            )
+            out_lines.extend(_wrap(sent.split(), width)[:budget])
+        elif budget >= 3 and rng.random() < 0.15:
+            for _ in range(int(rng.integers(2, min(5, budget) + 1))):
+                item = " ".join(rand_words(max(3, width // 8)))
+                out_lines.append(("- " + item)[:width])
+                if len(out_lines) >= lines:
+                    break
+        else:
+            words: List[str] = []
+            for _ in range(int(rng.integers(1, 4))):
+                ws = rand_words(int(rng.integers(4, 10)))
+                ws[0] = ws[0].capitalize()
+                ws[-1] += "."
+                words += ws
+            out_lines.extend(_wrap(words, width)[:budget])
+        if len(out_lines) < lines - 1 and rng.random() < 0.35:
+            out_lines.append("")
+    body = "\n".join(out_lines[:lines])
+    sep = "\n\n" if rng.random() < 0.5 else "\n"
+    return title + sep + body
+
+
 def _wrap(words: List[str], width: int) -> List[str]:
     lines: List[str] = []
     cur = ""

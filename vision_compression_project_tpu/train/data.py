@@ -106,6 +106,7 @@ def synthetic_batches(
     kind: str = "words",
     code_groups: int = 3,
     code_digits: int = 5,
+    jumble_frac: float = 0.0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever."""
     from ..raster import PdfDocument, make_pdf
@@ -137,10 +138,26 @@ def synthetic_batches(
         from .corpus import real_page_text
 
         gen = _ft.partial(real_page_text, font_size=font_size)
+    elif kind == "jumble":
+        # Independently random corpus words: unmemorizable, so loss can
+        # only drop by reading the pixels (see corpus.jumble_page_text).
+        from .corpus import jumble_page_text
+
+        gen = _ft.partial(jumble_page_text, font_size=font_size)
     else:
         gen = synthetic_page_text
+    mix_gen = None
+    if jumble_frac > 0.0 and kind != "jumble":
+        from .corpus import jumble_page_text
+
+        mix_gen = _ft.partial(jumble_page_text, font_size=font_size)
     while True:
-        texts = [gen(rng, lines=lines) for _ in range(batch_size)]
+        texts = [
+            (mix_gen if mix_gen and rng.random() < jumble_frac else gen)(
+                rng, lines=lines
+            )
+            for _ in range(batch_size)
+        ]
         pdf = make_pdf(texts, workdir / f"batch_{step % 4}.pdf", font_size=font_size)
         with PdfDocument(pdf) as doc:
             rasters = doc.render_batch(0, batch_size - 1, dpi=dpi)
