@@ -50,7 +50,19 @@ def main():
     cfg = get_preset(args.preset)
     runner = load_runner(cfg, str(Path(args.ckpt_dir).resolve()))
     out = SHIPPED_CHECKPOINT_ROOT / args.preset
+    # Shipping REPLACES: the loader (train/checkpoint.py::latest_params)
+    # picks the highest params_NNN, so a leftover older ship with a larger
+    # step count would silently win over the new weights while meta.json
+    # described the new ones (tasks/render mismatch).  Exactly one params
+    # dir may exist after a ship.
+    stale = [p for p in out.glob("params_*") if p.is_dir()]
     path = save_params(out, runner.params, step=args.steps)
+    import shutil
+
+    for p in stale:
+        if p != path:
+            shutil.rmtree(p)
+            print(f"removed stale ship: {p}")
     meta = {
         "preset": args.preset,
         "font_size": args.font_size,
