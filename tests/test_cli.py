@@ -105,14 +105,18 @@ def test_curriculum_driver_dry_run(tmp_path):
         cwd=REPO,
     )
     assert "--init_from checkpoints/r3/hopA" in out      # stage 1 warm start
-    assert "hopB_e0" in out and "hopC_e0" in out
+    # Read-first plan: jumble dive stages precede the prose stages.
+    assert "--data jumble" in out and "--data real" in out
+    assert "--jumble_frac 0.5" in out                    # mixC anti-shortcut mix
     assert "--font_size 12" in out and "--dpi 150" in out  # target render
     state = json.loads((tmp_path / "curr" / "curriculum.json").read_text())
     assert state["status"] == "complete"
-    assert [h["stage"] for h in state["history"]] == ["hopA", "hopB", "hopC"]
+    assert [h["stage"] for h in state["history"]] == [
+        "readA", "readB", "mixC", "denseD",
+    ]
     # Warm-start chain: each stage inits from the previous stage's ckpt.
-    assert state["history"][1]["ckpt"].endswith("hopA_e0") is False
-    assert "hopB_e0" in state["history"][1]["ckpt"]
+    assert state["history"][1]["ckpt"].endswith("readA_e0") is False
+    assert "readB_e0" in state["history"][1]["ckpt"]
     # Resume on a complete state is a no-op that still reports shipping.
     out2 = _run(
         [
