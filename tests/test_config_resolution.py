@@ -130,14 +130,12 @@ def test_auto_engine_explicit_ckpt_reads_its_meta(tmp_path, monkeypatch):
     (ckpt / "meta.json").write_text(json.dumps({"tasks": ["answer"]}))
     assert lm_answer_available() is True
 
-    # The shipped ocr_bpe checkpoint was answer-trained only on the
-    # synthetic QA distribution — measured on real-language evidence it
-    # degrades below the extractive engine, so it honestly declares
-    # `answer_synthetic` (NOT `answer`) and a fresh clone's /chat default
-    # stays extractive until a real-language answer hop ships.  The flip
-    # machinery itself is proven above.
+    # The shipped ocr_bpe checkpoint passed the real-language answer-hop
+    # gate (scripts/run_answer_hop.py: beats the extractive engine on
+    # held-out aggregation questions, holds the imitate/extract floors),
+    # so it declares `answer` and a fresh clone's /chat default GENERATES.
     _set_runtime(monkeypatch, model_preset="auto", checkpoint_dir=None)
     if config.shipped_checkpoint_dir("ocr_bpe"):
         tasks = config.shipped_meta("ocr_bpe").get("tasks", ())
-        assert "answer_synthetic" in tasks and "answer" not in tasks
-        assert lm_answer_available() is False
+        assert "answer" in tasks
+        assert lm_answer_available() is True
