@@ -107,16 +107,29 @@ def main() -> None:
     dpi = int(os.environ.get("VCP_BENCH_DPI", meta.get("dpi", 150)))
     lines = int(os.environ.get("VCP_BENCH_LINES", meta.get("lines", LINES)))
     data_kind = os.environ.get("VCP_BENCH_DATA", meta.get("data", "words"))
+    fonts_env = os.environ.get("VCP_BENCH_FONTS")
+    fonts = (
+        [f.strip() for f in fonts_env.split(",") if f.strip()]
+        if fonts_env
+        else list(meta.get("fonts", ["builtin"]))
+    )
+    page_fonts = [int(rng.integers(0, len(fonts))) for _ in range(N_PAGES)]
     if data_kind == "real":
         from vision_compression_project_tpu.train.corpus import real_page_text
 
         texts = [
-            real_page_text(rng, lines=lines, font_size=font_size, split="heldout")
-            for _ in range(N_PAGES)
+            real_page_text(
+                rng, lines=lines, font_size=font_size, split="heldout",
+                font=fonts[page_fonts[i]],
+            )
+            for i in range(N_PAGES)
         ]
     else:
         texts = [synthetic_page_text(rng, lines=lines) for _ in range(N_PAGES)]
-    pdf = make_pdf(texts, tmp / "bench.pdf", font_size=font_size)
+    pdf = make_pdf(
+        texts, tmp / "bench.pdf", font_size=font_size,
+        fonts=fonts, page_fonts=page_fonts,
+    )
 
     with PdfDocument(pdf) as doc:
         assert doc.page_count == N_PAGES
@@ -185,7 +198,10 @@ def main() -> None:
                 "text_engine_pages_per_sec": round(text_pages_per_sec, 1),
                 "preset": preset,
                 "data": data_kind,
-                "page_render": {"lines": lines, "font_size": font_size, "dpi": dpi},
+                "page_render": {
+                    "lines": lines, "font_size": font_size, "dpi": dpi,
+                    "fonts": fonts,
+                },
             }
         )
     )

@@ -98,6 +98,11 @@ def main():
         "scored against its extracted markdown — the end-goal eval on "
         "genuinely real documents",
     )
+    parser.add_argument(
+        "--fonts", default="builtin",
+        help="comma list of page fonts rotated per page (pdfgen aliases or "
+        ".ttf paths) — evaluates font-diverse reading",
+    )
     parser.add_argument("--json_out", default=None)
     args = parser.parse_args()
 
@@ -111,6 +116,8 @@ def main():
     if args.data == "golden_png":
         _eval_golden_png(args)
         return
+    fonts = [f.strip() for f in args.fonts.split(",") if f.strip()] or ["builtin"]
+    page_fonts = [int(rng.integers(0, len(fonts))) for _ in range(args.pages)]
     if args.data in ("real", "golden"):
         from vision_compression_project_tpu.train.corpus import real_page_text
 
@@ -118,9 +125,9 @@ def main():
         texts = [
             real_page_text(
                 rng, lines=args.lines, font_size=args.font_size,
-                split=split,
+                split=split, font=fonts[page_fonts[i]],
             )
-            for _ in range(args.pages)
+            for i in range(args.pages)
         ]
     elif args.data == "jumble":
         # Fresh random word sequences: train-vocab words but unseen order,
@@ -131,8 +138,11 @@ def main():
         )
 
         texts = [
-            jumble_page_text(rng, lines=args.lines, font_size=args.font_size)
-            for _ in range(args.pages)
+            jumble_page_text(
+                rng, lines=args.lines, font_size=args.font_size,
+                font=fonts[page_fonts[i]],
+            )
+            for i in range(args.pages)
         ]
     else:
         texts = [
@@ -140,7 +150,10 @@ def main():
             for _ in range(args.pages)
         ]
     tmp = Path(tempfile.mkdtemp(prefix="vcp_extract_eval_"))
-    pdf = make_pdf(texts, tmp / "eval.pdf", font_size=args.font_size)
+    pdf = make_pdf(
+        texts, tmp / "eval.pdf", font_size=args.font_size,
+        fonts=fonts, page_fonts=page_fonts,
+    )
     with PdfDocument(pdf) as doc:
         rasters = doc.render_batch(0, args.pages - 1, dpi=args.dpi)
     h = max(r.shape[0] for r in rasters)
@@ -172,7 +185,8 @@ def main():
         "pages": args.pages,
         "data": args.data,
         "render": {
-            "lines": args.lines, "font_size": args.font_size, "dpi": args.dpi
+            "lines": args.lines, "font_size": args.font_size,
+            "dpi": args.dpi, "fonts": fonts,
         },
         "markdown_similarity_mean": round(float(np.mean(md_scores)), 4),
         "markdown_similarity_min": round(float(min(md_scores)), 4),

@@ -64,6 +64,18 @@ DEFAULT_STAGES = [
      "steps": 3000, "max_steps": 12000, "lr": 6e-4, "text_len": 1023,
      "kind": "real", "jumble_frac": 0.25, "eval_data": "real",
      "ship": True},
+    # Font diversity: the preceding stages read the builtin atlas font;
+    # real documents use real typefaces.  Rotating embedded DejaVu faces
+    # (serif/sans/mono/bold — pdfgen FontFile2 embedding) per page pushes
+    # the reader toward font-invariant glyph recognition at the VERDICT
+    # render; ships with its font list in meta so bench.py rotates the
+    # same mix.
+    {"name": "fontsE", "font_size": 12, "lines": 30, "dpi": 150,
+     "steps": 3000, "max_steps": 12000, "lr": 5e-4, "text_len": 1023,
+     "kind": "real", "jumble_frac": 0.25, "eval_data": "real",
+     "fonts": "builtin,dejavu_sans,dejavu_serif,dejavu_mono,"
+              "dejavu_sans_bold",
+     "ship": True},
 ]
 
 
@@ -88,6 +100,7 @@ def _eval_similarity(preset, ckpt_dir, stage, pages, dry):
          ckpt_dir, "--data", stage.get("eval_data", "real"),
          "--pages", pages,
          "--font_size", stage["font_size"], "--lines", stage["lines"],
+         "--fonts", stage.get("fonts", "builtin"),
          # Decode budget must cover the stage's full target length: dense
          # stages (30 lines of prose) are ~1000 BPE tokens of markdown, so
          # the eval_extract default (256) would truncate every output and
@@ -151,6 +164,7 @@ def main():
             "--steps", steps, "--batch", args.batch,
             "--lr", stage["lr"], "--font_size", stage["font_size"],
             "--lines", stage["lines"], "--dpi", stage["dpi"],
+            "--fonts", stage.get("fonts", "builtin"),
             "--text_len", stage["text_len"],
             "--seed", args.seed + state["stage"] * 101 + ext,
             "--ckpt_dir", ckpt_dir, "--ckpt_every", 500,
@@ -187,6 +201,7 @@ def main():
                      "--ckpt_dir", ckpt_dir,
                      "--font_size", stage["font_size"],
                      "--lines", stage["lines"], "--dpi", stage["dpi"],
+                     "--fonts", stage.get("fonts", "builtin"),
                      "--data", "real", "--tasks", "extract", "--steps", 0,
                      "--note",
                      f"curriculum {stage['name']}_e{ext} sim={sim:.3f}"],
@@ -218,6 +233,7 @@ def main():
              "--ckpt_dir", final["ckpt"],
              "--font_size", last_stage["font_size"],
              "--lines", last_stage["lines"], "--dpi", last_stage["dpi"],
+             "--fonts", last_stage.get("fonts", "builtin"),
              "--data", "real", "--tasks", "extract",
              "--steps", 0,
              "--note", f"curriculum auto-ship sim={final['similarity']:.3f}"],

@@ -37,6 +37,11 @@ def main():
         "('extract', 'answer'); 'answer' makes the QA engine 'auto' "
         "resolve to generation (pipeline/qa.py::lm_answer_available)",
     )
+    parser.add_argument(
+        "--fonts", default="builtin",
+        help="comma list of page fonts the checkpoint was trained on "
+        "(pdfgen aliases/paths); bench.py rotates the same fonts",
+    )
     parser.add_argument("--note", default="")
     args = parser.parse_args()
 
@@ -69,6 +74,7 @@ def main():
         "dpi": args.dpi,
         "lines": args.lines,
         "data": args.data,
+        "fonts": [f.strip() for f in args.fonts.split(",") if f.strip()],
         "tasks": [t.strip() for t in args.tasks.split(",") if t.strip()],
         "trained_steps": args.steps,
         "note": args.note,

@@ -38,6 +38,12 @@ def main():
         "generator instead, keeping the reading gradient alive while the "
         "model learns prose (anti-memorization mix)",
     )
+    parser.add_argument(
+        "--fonts", default="builtin",
+        help="comma list of page fonts to rotate per page: 'builtin' "
+        "(engine atlas) and/or pdfgen aliases (dejavu_sans, dejavu_serif, "
+        "dejavu_mono, ...) or .ttf paths — font-diverse OCR training",
+    )
     parser.add_argument("--code_groups", type=int, default=3)
     parser.add_argument("--code_digits", type=int, default=5)
     parser.add_argument("--ckpt_dir", default="checkpoints/vlm")
@@ -108,6 +114,7 @@ def main():
             seed=args.seed, font_size=args.font_size, lines=args.lines,
             kind=args.data, code_groups=args.code_groups,
             code_digits=args.code_digits, jumble_frac=args.jumble_frac,
+            fonts=[f.strip() for f in args.fonts.split(",") if f.strip()],
         )
     )
     t_start = time.time()

@@ -38,9 +38,62 @@ _WORD_RE = re.compile(r"[A-Za-z]")
 _sentences_cache: dict = {}
 
 
-def chars_per_line(font_size: int) -> int:
+def chars_per_line(font_size: int, font: str = "builtin") -> int:
     usable = _PAGE_W - 2 * _MARGIN
-    return max(8, int(usable / (_ADVANCE_FACTOR * font_size)))
+    factor = _ADVANCE_FACTOR
+    if font not in (None, "", "builtin"):
+        # Embedded TrueType: effective per-char width from the font's own
+        # metrics (mean lowercase+space advance, raster/ttf.py) plus slack.
+        factor = _mean_advance_em(font) * 1.12
+    return max(8, int(usable / (factor * font_size)))
+
+
+def _mean_advance_em(font: str) -> float:
+    from ..raster.pdfgen import resolve_font
+    from ..raster.ttf import load_metrics
+
+    m = load_metrics(resolve_font(font))
+    chars = "abcdefghijklmnopqrstuvwxyz "
+    return sum(m.advance_em(ord(c)) for c in chars) / len(chars)
+
+
+def _make_wrapper(font: str, font_size: int):
+    """(words -> wrapped lines) for the given font: char-count wrap for the
+    builtin atlas (historical behavior, advance is a constant 0.55 em —
+    raster/cpp/pdf_engine.cc), exact em-measured wrap for embedded TTFs
+    (advances vary per glyph; the measure uses the same hmtx metrics the
+    renderer positions by, so no wrapped line can clip)."""
+    if font in (None, "", "builtin"):
+        width = chars_per_line(font_size)
+        return width, lambda words: _wrap(words, width)
+    from ..raster.pdfgen import resolve_font
+    from ..raster.ttf import load_metrics
+
+    m = load_metrics(resolve_font(font))
+    usable_em = (_PAGE_W - 2 * _MARGIN) / font_size * 0.98
+    width = chars_per_line(font_size, font)
+
+    def wrap(words: List[str]) -> List[str]:
+        lines: List[str] = []
+        cur, cur_w = "", 0.0
+        space_w = m.advance_em(32)
+        for w in words:
+            w_w = m.text_width_em(w)
+            while w_w > usable_em and len(w) > 1:  # pathological long token
+                w = w[: len(w) // 2]
+                w_w = m.text_width_em(w)
+            if cur and cur_w + space_w + w_w > usable_em:
+                lines.append(cur)
+                cur, cur_w = w, w_w
+            elif cur:
+                cur, cur_w = cur + " " + w, cur_w + space_w + w_w
+            else:
+                cur, cur_w = w, w_w
+        if cur:
+            lines.append(cur)
+        return lines
+
+    return width, wrap
 
 
 def max_lines_for_font(font_size: int) -> int:
@@ -184,6 +237,7 @@ def jumble_page_text(
     min_words: int = 0,
     max_words: int = 0,
     title_words: int = 3,
+    font: str = "builtin",
 ) -> str:
     """A page of INDEPENDENTLY random corpus words — unmemorizable content.
 
@@ -198,7 +252,7 @@ def jumble_page_text(
     layout of real pages, so the skill transfers to prose stages."""
     vocab = corpus_vocabulary()
     lines = min(lines, max_lines_for_font(font_size))
-    width = chars_per_line(font_size)
+    width, wrap = _make_wrapper(font, font_size)
 
     def rand_words(n: int) -> List[str]:
         idx = rng.integers(0, len(vocab), size=n)
@@ -216,11 +270,11 @@ def jumble_page_text(
                 a=int(rng.integers(1, 100)), b=int(rng.integers(0, 10)),
                 c=int(rng.integers(1, 1000)), year=int(rng.integers(1990, 2027)),
             )
-            out_lines.extend(_wrap(sent.split(), width)[:budget])
+            out_lines.extend(wrap(sent.split())[:budget])
         elif budget >= 3 and rng.random() < 0.15:
             for _ in range(int(rng.integers(2, min(5, budget) + 1))):
                 item = " ".join(rand_words(max(3, width // 8)))
-                out_lines.append(("- " + item)[:width])
+                out_lines.append(_clip_line("- " + item, width, font, wrap))
                 if len(out_lines) >= lines:
                     break
         else:
@@ -230,12 +284,22 @@ def jumble_page_text(
                 ws[0] = ws[0].capitalize()
                 ws[-1] += "."
                 words += ws
-            out_lines.extend(_wrap(words, width)[:budget])
+            out_lines.extend(wrap(words)[:budget])
         if len(out_lines) < lines - 1 and rng.random() < 0.35:
             out_lines.append("")
     body = "\n".join(out_lines[:lines])
     sep = "\n\n" if rng.random() < 0.5 else "\n"
     return title + sep + body
+
+
+def _clip_line(line: str, width: int, font: str, wrap) -> str:
+    """Bound one line to the page width: char slice for the builtin atlas
+    (fixed advance — historical behavior), measured word-boundary clip for
+    embedded TTFs (char counts under-estimate wide glyph runs)."""
+    if font in (None, "", "builtin"):
+        return line[:width]
+    clipped = wrap(line.split())
+    return clipped[0] if clipped else ""
 
 
 def _wrap(words: List[str], width: int) -> List[str]:
@@ -262,6 +326,7 @@ def real_page_text(
     min_words: int = 0,  # unused; signature-compatible with synthetic_page_text
     max_words: int = 0,
     title_words: int = 3,
+    font: str = "builtin",
 ) -> str:
     """A document page of real-language prose with realistic layout.
 
@@ -274,7 +339,7 @@ def real_page_text(
     """
     pool = corpus_sentences(split)
     lines = min(lines, max_lines_for_font(font_size))
-    width = chars_per_line(font_size)
+    width, wrap = _make_wrapper(font, font_size)
     start = int(rng.integers(0, len(pool)))
 
     title_src = pool[(start + 7919) % len(pool)].split()
@@ -303,7 +368,7 @@ def real_page_text(
                 n=int(rng.integers(1, 10)), m=int(rng.integers(1, 10)),
                 year=int(rng.integers(1990, 2027)),
             )
-            out_lines.extend(_wrap(sent.split(), width)[:budget])
+            out_lines.extend(wrap(sent.split())[:budget])
             if len(out_lines) < lines - 1 and rng.random() < 0.3:
                 out_lines.append("")
             continue
@@ -313,7 +378,7 @@ def real_page_text(
                 s = pool[idx % len(pool)]
                 idx += 1
                 item = " ".join(s.split()[: max(3, width // 8)])
-                out_lines.append(("- " + item)[:width])
+                out_lines.append(_clip_line("- " + item, width, font, wrap))
                 if len(out_lines) >= lines:
                     break
         else:
@@ -322,7 +387,7 @@ def real_page_text(
             for _ in range(n_sent):
                 words += pool[idx % len(pool)].split()
                 idx += 1
-            out_lines.extend(_wrap(words, width)[:budget])
+            out_lines.extend(wrap(words)[:budget])
         # paragraph break (a blank line costs one rendered line)
         if len(out_lines) < lines - 1 and rng.random() < 0.35:
             out_lines.append("")

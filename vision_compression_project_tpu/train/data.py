@@ -107,8 +107,14 @@ def synthetic_batches(
     code_groups: int = 3,
     code_digits: int = 5,
     jumble_frac: float = 0.0,
+    fonts: Optional[List[str]] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever."""
+    """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever.
+
+    fonts: font specs to rotate per page (pdfgen aliases/paths or
+    "builtin").  Real/jumble page text is wrapped with the chosen font's own
+    metrics so nothing clips; other kinds keep builtin-width text but still
+    render in the rotated font (their short sentences fit any of them)."""
     from ..raster import PdfDocument, make_pdf
 
     rng = np.random.default_rng(seed)
@@ -151,14 +157,19 @@ def synthetic_batches(
         from .corpus import jumble_page_text
 
         mix_gen = _ft.partial(jumble_page_text, font_size=font_size)
+    fonts = list(fonts or ["builtin"])
     while True:
-        texts = [
-            (mix_gen if mix_gen and rng.random() < jumble_frac else gen)(
-                rng, lines=lines
-            )
-            for _ in range(batch_size)
-        ]
-        pdf = make_pdf(texts, workdir / f"batch_{step % 4}.pdf", font_size=font_size)
+        page_fonts = [int(rng.integers(0, len(fonts))) for _ in range(batch_size)]
+        texts = []
+        for i in range(batch_size):
+            g = mix_gen if mix_gen and rng.random() < jumble_frac else gen
+            takes_font = g is mix_gen or kind in ("real", "jumble")
+            kwargs = {"font": fonts[page_fonts[i]]} if takes_font else {}
+            texts.append(g(rng, lines=lines, **kwargs))
+        pdf = make_pdf(
+            texts, workdir / f"batch_{step % 4}.pdf", font_size=font_size,
+            fonts=fonts, page_fonts=page_fonts,
+        )
         with PdfDocument(pdf) as doc:
             rasters = doc.render_batch(0, batch_size - 1, dpi=dpi)
         h = max(r.shape[0] for r in rasters)
