@@ -12,7 +12,8 @@
 //
 // Scope: classic + object-stream PDFs, FlateDecode, simple & Type0 fonts
 // (ToUnicode bfchar/bfrange), text showing ops, rect fills, image XObjects
-// (FlateDecode gray/RGB/Indexed and baseline-DCT JPEG — jpeg_decode.h), and
+// (FlateDecode gray/RGB/Indexed, baseline-DCT JPEG — jpeg_decode.h, CCITT
+// fax — ccitt.h, and JPEG 2000 — jpx.h), and
 // embedded-TrueType glyph outlines (FontFile2 — truetype.h) with the
 // built-in bitmap font as fallback for non-embedded fonts.  Unsupported
 // constructs degrade gracefully (blank regions), never crash.
@@ -37,6 +38,7 @@
 #include "cff.h"
 #include "font.h"
 #include "jpeg_decode.h"
+#include "jpx.h"
 #include "truetype.h"
 
 namespace vcpr {
@@ -1083,6 +1085,39 @@ class Document {
       img->w = jw;
       img->h = jh;
       img->comps = jc;
+      img->px = std::move(px);
+      return img;
+    }
+    bool jpx = !filters.empty() && filters.back() == "JPXDecode";
+    if (jpx) {
+      // JPEG 2000: the codestream carries its own geometry/colorspace.
+      std::string cur = s->stream;
+      for (size_t i = 0; i + 1 < filters.size(); i++) {
+        if (filters[i] == "FlateDecode" || filters[i] == "Fl") {
+          std::string out;
+          if (!inflate_bytes(cur, &out)) return nullptr;
+          cur = out;
+        } else {
+          return nullptr;
+        }
+      }
+      jpx::JpxImage dec;
+      std::vector<uint8_t> px;
+      int jw = 0, jh = 0, jc = 0;
+      if (!dec.decode(cur, &px, &jw, &jh, &jc)) return nullptr;
+      // 2 comps = gray+alpha, 4 = RGB+alpha (JP2 opacity channel; PDF
+      // carries masking via SMaskInData, which we ignore): drop alpha.
+      int keep = jc == 2 ? 1 : jc == 4 ? 3 : jc;
+      if (keep != jc) {
+        std::vector<uint8_t> stripped(static_cast<size_t>(jw) * jh * keep);
+        for (long i = 0; i < static_cast<long>(jw) * jh; i++)
+          for (int ci = 0; ci < keep; ci++)
+            stripped[i * keep + ci] = px[i * jc + ci];
+        px = std::move(stripped);
+      }
+      img->w = jw;
+      img->h = jh;
+      img->comps = keep;
       img->px = std::move(px);
       return img;
     }
