@@ -103,6 +103,11 @@ def main():
         help="comma list of page fonts rotated per page (pdfgen aliases or "
         ".ttf paths) — evaluates font-diverse reading",
     )
+    parser.add_argument(
+        "--vocab_cap", type=int, default=0,
+        help="jumble word-inventory cap; must match the training cap so "
+        "the stage gate measures reading on the same inventory",
+    )
     parser.add_argument("--json_out", default=None)
     args = parser.parse_args()
 
@@ -140,7 +145,7 @@ def main():
         texts = [
             jumble_page_text(
                 rng, lines=args.lines, font_size=args.font_size,
-                font=fonts[page_fonts[i]],
+                font=fonts[page_fonts[i]], vocab_cap=args.vocab_cap,
             )
             for i in range(args.pages)
         ]
@@ -187,6 +192,7 @@ def main():
         "render": {
             "lines": args.lines, "font_size": args.font_size,
             "dpi": args.dpi, "fonts": fonts,
+            **({"vocab_cap": args.vocab_cap} if args.data == "jumble" else {}),
         },
         "markdown_similarity_mean": round(float(np.mean(md_scores)), 4),
         "markdown_similarity_min": round(float(min(md_scores)), 4),

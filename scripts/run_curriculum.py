@@ -27,7 +27,9 @@ entropy is only reachable by reading pixels.  Once reading exists, prose
 stages mix jumble pages in (--jumble_frac) so the shortcut never pays
 again.  Font hops follow the recipe: glyph px after resize ~ 1.29 x
 font_pt at the 1024px preset; shrink the font <= ~2x per stage.
-  readA  jumble 100% font 48 / lines 6  / dpi 93  (the forced dive)
+  readA0 jumble 100% font 48 / lines 6  / dpi 93, vocab cap 128 (the dive)
+  readA1 jumble 100% font 48 / lines 6  / dpi 93, vocab cap 1024
+  readA  jumble 100% font 48 / lines 6  / dpi 93, full vocabulary
   readB  jumble 100% font 24 / lines 14 / dpi 93
   mixC   real+jumble 50% font 24 / lines 14 / dpi 93
   denseD real+jumble 25% font 12 / lines 30 / dpi 150 (VERDICT render)
@@ -47,15 +49,28 @@ REPO = Path(__file__).resolve().parent.parent
 DEFAULT_STAGES = [
     # kind/jumble_frac: training distribution; eval_data: what similarity
     # gates the stage (jumble stages gate on reading, prose on real text);
-    # ship: only prose-capable stages publish a serving default.
-    {"name": "readA", "font_size": 48, "lines": 6, "dpi": 93,
-     "steps": 2500, "max_steps": 12500, "lr": 1e-3, "text_len": 255,
+    # ship: only prose-capable stages publish a serving default;
+    # vocab_cap: jumble word-inventory ramp (measured need: at the full
+    # ~14.4k inventory, 7500 steps left loss stuck ~1.19 with generation
+    # at 0.23 similarity — word-identity entropy ~9.6 nats starves the
+    # reading gradient; the round-2 dive happened on a tiny vocabulary);
+    # advance_at: per-stage gate override (global --advance_at otherwise).
+    {"name": "readA0", "font_size": 48, "lines": 6, "dpi": 93,
+     "steps": 2000, "max_steps": 8000, "lr": 1e-3, "text_len": 255,
      "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
-     "ship": False},
+     "vocab_cap": 128, "advance_at": 0.75, "ship": False},
+    {"name": "readA1", "font_size": 48, "lines": 6, "dpi": 93,
+     "steps": 2000, "max_steps": 8000, "lr": 8e-4, "text_len": 255,
+     "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
+     "vocab_cap": 1024, "advance_at": 0.7, "ship": False},
+    {"name": "readA", "font_size": 48, "lines": 6, "dpi": 93,
+     "steps": 2500, "max_steps": 12500, "lr": 8e-4, "text_len": 255,
+     "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
+     "advance_at": 0.7, "ship": False},
     {"name": "readB", "font_size": 24, "lines": 14, "dpi": 93,
      "steps": 2500, "max_steps": 10000, "lr": 8e-4, "text_len": 511,
      "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
-     "ship": False},
+     "advance_at": 0.7, "ship": False},
     {"name": "mixC", "font_size": 24, "lines": 14, "dpi": 93,
      "steps": 2500, "max_steps": 10000, "lr": 8e-4, "text_len": 511,
      "kind": "real", "jumble_frac": 0.5, "eval_data": "real",
@@ -101,6 +116,7 @@ def _eval_similarity(preset, ckpt_dir, stage, pages, dry):
          "--pages", pages,
          "--font_size", stage["font_size"], "--lines", stage["lines"],
          "--fonts", stage.get("fonts", "builtin"),
+         "--vocab_cap", stage.get("vocab_cap", 0),
          # Decode budget must cover the stage's full target length: dense
          # stages (30 lines of prose) are ~1000 BPE tokens of markdown, so
          # the eval_extract default (256) would truncate every output and
@@ -165,6 +181,7 @@ def main():
             "--lr", stage["lr"], "--font_size", stage["font_size"],
             "--lines", stage["lines"], "--dpi", stage["dpi"],
             "--fonts", stage.get("fonts", "builtin"),
+            "--vocab_cap", stage.get("vocab_cap", 0),
             "--text_len", stage["text_len"],
             "--seed", args.seed + state["stage"] * 101 + ext,
             "--ckpt_dir", ckpt_dir, "--ckpt_every", 500,
@@ -187,7 +204,7 @@ def main():
         )
         print(f"{stage['name']}_e{ext}: similarity {sim:.3f}")
         state["init_from"] = str(ckpt_dir)  # next run warm-starts here
-        if sim >= args.advance_at:
+        if sim >= stage.get("advance_at", args.advance_at):
             # Ship every PROSE stage that clears the bar, with ITS OWN
             # render in meta.json: if the budget dies mid-curriculum, the
             # shipped default is still the best VERIFIED capability

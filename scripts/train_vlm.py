@@ -44,6 +44,12 @@ def main():
         "(engine atlas) and/or pdfgen aliases (dejavu_sans, dejavu_serif, "
         "dejavu_mono, ...) or .ttf paths — font-diverse OCR training",
     )
+    parser.add_argument(
+        "--vocab_cap", type=int, default=0,
+        help="jumble word-inventory cap (0 = full ~14k corpus vocab): the "
+        "read-dive ramp — small caps (128/1024) concentrate the reading "
+        "gradient so the vision circuit forms, later stages widen",
+    )
     parser.add_argument("--code_groups", type=int, default=3)
     parser.add_argument("--code_digits", type=int, default=5)
     parser.add_argument("--ckpt_dir", default="checkpoints/vlm")
@@ -115,6 +121,7 @@ def main():
             kind=args.data, code_groups=args.code_groups,
             code_digits=args.code_digits, jumble_frac=args.jumble_frac,
             fonts=[f.strip() for f in args.fonts.split(",") if f.strip()],
+            vocab_cap=args.vocab_cap,
         )
     )
     t_start = time.time()

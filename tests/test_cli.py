@@ -112,7 +112,7 @@ def test_curriculum_driver_dry_run(tmp_path):
     state = json.loads((tmp_path / "curr" / "curriculum.json").read_text())
     assert state["status"] == "complete"
     assert [h["stage"] for h in state["history"]] == [
-        "readA", "readB", "mixC", "denseD", "fontsE",
+        "readA0", "readA1", "readA", "readB", "mixC", "denseD", "fontsE",
     ]
     # Warm-start chain: each stage inits from the previous stage's ckpt.
     assert state["history"][1]["ckpt"].endswith("readA_e0") is False

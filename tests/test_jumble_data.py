@@ -75,3 +75,30 @@ def test_mix_fraction_accepted(frac):
         kind="real", jumble_frac=frac,
     )
     assert next(it)["pages_u8"].shape[0] == 2
+
+
+def test_capped_vocabulary_ramp():
+    """vocab_cap stride-samples a deterministic diverse subset (the
+    read-dive ramp); capped jumble pages draw only from that subset."""
+    from vision_compression_project_tpu.train.corpus import capped_vocabulary
+
+    full = corpus_vocabulary()
+    small = capped_vocabulary(128)
+    assert len(small) == 128
+    assert small == capped_vocabulary(128)  # deterministic
+    assert set(small) <= set(full)
+    # Stride sampling, not an alphabetical prefix: spread of initials.
+    assert len({w[0].lower() for w in small}) > 5
+    assert capped_vocabulary(0) == full
+    assert capped_vocabulary(10**9) == full
+
+    page = jumble_page_text(
+        np.random.default_rng(5), lines=6, font_size=48, vocab_cap=128
+    )
+    allowed = {w.lower() for w in small}
+    for word in page.replace("\n", " ").split():
+        w = word.strip(".,;:-").lower()
+        if w.isalpha() and len(w) > 1:
+            # Page-width clipping may truncate a word mid-glyph, so a
+            # prefix of an allowed word is fine too.
+            assert w in allowed or any(a.startswith(w) for a in allowed), w

@@ -229,6 +229,26 @@ def corpus_vocabulary(min_len: int = 2, max_len: int = 14) -> List[str]:
     return _sentences_cache["vocab"]
 
 
+def capped_vocabulary(cap: int) -> List[str]:
+    """A deterministic `cap`-word subset of the corpus vocabulary.
+
+    Stride-sampled from the sorted inventory (not an alphabetical prefix,
+    which would collapse onto one letter region), so a capped vocab keeps
+    diverse word lengths and initial glyphs.  The vocabulary RAMP for
+    jumble read-training: the round-2 vision dive happened on a tiny
+    closed vocabulary; a direct jump to the full ~14k inventory starves
+    the reading gradient (word-identity entropy ~9.6 nats), so stages
+    ramp cap 128 -> 1024 -> full."""
+    v = corpus_vocabulary()
+    if cap <= 0 or cap >= len(v):
+        return v
+    key = f"vocab_cap_{cap}"
+    if key not in _sentences_cache:
+        stride = max(1, len(v) // cap)
+        _sentences_cache[key] = v[::stride][:cap]
+    return _sentences_cache[key]
+
+
 def jumble_page_text(
     rng: np.random.Generator,
     lines: int = 30,
@@ -238,6 +258,7 @@ def jumble_page_text(
     max_words: int = 0,
     title_words: int = 3,
     font: str = "builtin",
+    vocab_cap: int = 0,
 ) -> str:
     """A page of INDEPENDENTLY random corpus words — unmemorizable content.
 
@@ -249,8 +270,12 @@ def jumble_page_text(
     sequences have no language prior to exploit — every nat of loss below
     the vocabulary entropy (~8 nats/word) must come from READING — while
     keeping the exact glyph distribution, wrapping, bullets and paragraph
-    layout of real pages, so the skill transfers to prose stages."""
-    vocab = corpus_vocabulary()
+    layout of real pages, so the skill transfers to prose stages.
+
+    vocab_cap > 0 restricts the word inventory (capped_vocabulary): the
+    read-dive ramp — small vocab concentrates the reading gradient so the
+    vision circuit forms, later stages widen back to the full inventory."""
+    vocab = capped_vocabulary(vocab_cap)
     lines = min(lines, max_lines_for_font(font_size))
     width, wrap = _make_wrapper(font, font_size)
 

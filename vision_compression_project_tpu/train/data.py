@@ -108,6 +108,7 @@ def synthetic_batches(
     code_digits: int = 5,
     jumble_frac: float = 0.0,
     fonts: Optional[List[str]] = None,
+    vocab_cap: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever.
 
@@ -147,16 +148,22 @@ def synthetic_batches(
     elif kind == "jumble":
         # Independently random corpus words: unmemorizable, so loss can
         # only drop by reading the pixels (see corpus.jumble_page_text).
+        # vocab_cap ramps the word inventory (small caps concentrate the
+        # reading gradient for the vision dive).
         from .corpus import jumble_page_text
 
-        gen = _ft.partial(jumble_page_text, font_size=font_size)
+        gen = _ft.partial(
+            jumble_page_text, font_size=font_size, vocab_cap=vocab_cap
+        )
     else:
         gen = synthetic_page_text
     mix_gen = None
     if jumble_frac > 0.0 and kind != "jumble":
         from .corpus import jumble_page_text
 
-        mix_gen = _ft.partial(jumble_page_text, font_size=font_size)
+        mix_gen = _ft.partial(
+            jumble_page_text, font_size=font_size, vocab_cap=vocab_cap
+        )
     fonts = list(fonts or ["builtin"])
     while True:
         page_fonts = [int(rng.integers(0, len(fonts))) for _ in range(batch_size)]
