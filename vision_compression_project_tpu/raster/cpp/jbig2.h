@@ -1,0 +1,339 @@
+// JBIG2Decode (ITU-T T.88) for image XObjects — the bilevel codec of
+// scanned-document PDFs.
+//
+// The reference rasterizes via Poppler, which carries a JBIG2 decoder
+// (reference backend/Dockerfile:4-6); this engine is self-contained, so
+// JBIG2-compressed pages need an in-tree decoder.  Scope: the PDF
+// embedded-stream organization (T.88 Annex; no file header, explicit data
+// lengths, optional /JBIG2Globals), page info segments, and immediate
+// generic region segments — MMR-coded (T.6, reusing ccitt.h, which is
+// validated against PIL's real G4 output) or arithmetic-coded (templates
+// 0-3 with AT pixels and TPGDON typical prediction, reusing the T.88 MQ
+// coder from jpx.h, which is validated against openjpeg).  Symbol
+// dictionaries / text / refinement / halftone regions are unsupported and
+// fail gracefully -> caller leaves the image blank.
+// Validated in tests/test_raster_jbig2.py: the MMR fixture wraps PIL's own
+// G4 bitstream in JBIG2 segments; the arithmetic fixture round-trips a
+// spec-written Python MQ encoder against this decoder.
+#pragma once
+
+#include <cstdint>
+#include <string>
+#include <vector>
+
+#include "ccitt.h"
+#include "jpx.h"  // jpx::MqDecoder / MqContext — the shared T.88 coder
+
+namespace jbig2 {
+
+struct Bitmap {
+  int w = 0, h = 0;
+  std::vector<uint8_t> px;  // byte per pixel, 1 = black (JBIG2 convention)
+
+  void init(int ww, int hh, uint8_t fill) {
+    w = ww;
+    h = hh;
+    px.assign(static_cast<size_t>(w) * h, fill);
+  }
+  uint8_t get(int x, int y) const {
+    if (x < 0 || y < 0 || x >= w || y >= h) return 0;
+    return px[static_cast<size_t>(y) * w + x];
+  }
+  void set(int x, int y, uint8_t v) { px[static_cast<size_t>(y) * w + x] = v; }
+};
+
+// TPGDON (typical prediction) pseudo-pixel contexts per template.
+static const int kTpgdCtx[4] = {0x9B25, 0x0795, 0x00E5, 0x0195};
+
+// Arithmetic generic region decoding procedure (T.88 6.2.5).  Context
+// layouts follow the spec's template figures (bit assignments as in the
+// widely-deployed decoders so real encoder output decodes).
+class GenericDecoder {
+ public:
+  bool decode(const uint8_t* data, size_t n, int tmpl, bool tpgdon,
+              const int8_t* at, Bitmap* bm) {
+    if (tmpl < 0 || tmpl > 3) return false;
+    mq_.init(data, n);
+    cx_.assign(1 << 16, jpx::MqContext());
+    int ltp = 0;
+    for (int y = 0; y < bm->h; y++) {
+      if (tpgdon) {
+        if (mq_.decode(&cx_[kTpgdCtx[tmpl]])) ltp ^= 1;
+        if (ltp) {  // typical row: copy the row above (top row -> zeros)
+          for (int x = 0; x < bm->w; x++) bm->set(x, y, bm->get(x, y - 1));
+          continue;
+        }
+      }
+      for (int x = 0; x < bm->w; x++) {
+        int ctx = context(*bm, x, y, tmpl, at);
+        bm->set(x, y, static_cast<uint8_t>(mq_.decode(&cx_[ctx])));
+      }
+    }
+    return true;
+  }
+
+ private:
+  static int context(const Bitmap& b, int x, int y, int tmpl,
+                     const int8_t* at) {
+    switch (tmpl) {
+      case 0:
+        return (b.get(x - 1, y) << 0) | (b.get(x - 2, y) << 1) |
+               (b.get(x - 3, y) << 2) | (b.get(x - 4, y) << 3) |
+               (b.get(x + at[0], y + at[1]) << 4) |
+               (b.get(x + 2, y - 1) << 5) | (b.get(x + 1, y - 1) << 6) |
+               (b.get(x, y - 1) << 7) | (b.get(x - 1, y - 1) << 8) |
+               (b.get(x - 2, y - 1) << 9) |
+               (b.get(x + at[2], y + at[3]) << 10) |
+               (b.get(x + at[4], y + at[5]) << 11) |
+               (b.get(x + 1, y - 2) << 12) | (b.get(x, y - 2) << 13) |
+               (b.get(x - 1, y - 2) << 14) |
+               (b.get(x + at[6], y + at[7]) << 15);
+      case 1:
+        return (b.get(x - 1, y) << 0) | (b.get(x - 2, y) << 1) |
+               (b.get(x - 3, y) << 2) |
+               (b.get(x + at[0], y + at[1]) << 3) |
+               (b.get(x + 2, y - 1) << 4) | (b.get(x + 1, y - 1) << 5) |
+               (b.get(x, y - 1) << 6) | (b.get(x - 1, y - 1) << 7) |
+               (b.get(x - 2, y - 1) << 8) | (b.get(x + 2, y - 2) << 9) |
+               (b.get(x + 1, y - 2) << 10) | (b.get(x, y - 2) << 11) |
+               (b.get(x - 1, y - 2) << 12);
+      case 2:
+        return (b.get(x - 1, y) << 0) | (b.get(x - 2, y) << 1) |
+               (b.get(x + at[0], y + at[1]) << 2) |
+               (b.get(x + 1, y - 1) << 3) | (b.get(x, y - 1) << 4) |
+               (b.get(x - 1, y - 1) << 5) | (b.get(x - 2, y - 1) << 6) |
+               (b.get(x + 1, y - 2) << 7) | (b.get(x, y - 2) << 8) |
+               (b.get(x - 1, y - 2) << 9);
+      default:  // 3: single reference line
+        return (b.get(x - 1, y) << 0) | (b.get(x - 2, y) << 1) |
+               (b.get(x - 3, y) << 2) | (b.get(x - 4, y) << 3) |
+               (b.get(x + at[0], y + at[1]) << 4) |
+               (b.get(x + 1, y - 1) << 5) | (b.get(x, y - 1) << 6) |
+               (b.get(x - 1, y - 1) << 7) | (b.get(x - 2, y - 1) << 8) |
+               (b.get(x - 3, y - 1) << 9);
+    }
+  }
+
+  jpx::MqDecoder mq_;
+  std::vector<jpx::MqContext> cx_;
+};
+
+// ---------------------------------------------------------------------------
+// Segment stream (PDF embedded organization, T.88 7.2 headers)
+// ---------------------------------------------------------------------------
+
+struct Reader {
+  const uint8_t* d;
+  size_t n, p = 0;
+  bool ok = true;
+
+  uint32_t u8() {
+    if (p >= n) {
+      ok = false;
+      return 0;
+    }
+    return d[p++];
+  }
+  uint32_t u16() { return (u8() << 8) | u8(); }
+  uint32_t u32() {
+    uint32_t v = u16();
+    return (v << 16) | u16();
+  }
+  void skip(size_t k) {
+    if (p + k > n)
+      ok = false;
+    else
+      p += k;
+  }
+};
+
+struct Page {
+  Bitmap bm;
+  bool inited = false;
+};
+
+// Composite `r` onto the page at (x0, y0) with the external combination
+// operator (T.88 7.4.1.4: OR/AND/XOR/XNOR/REPLACE).
+static void compose(Page* pg, const Bitmap& r, int x0, int y0, int op) {
+  for (int y = 0; y < r.h; y++) {
+    int py = y0 + y;
+    if (py < 0 || py >= pg->bm.h) continue;
+    for (int x = 0; x < r.w; x++) {
+      int px = x0 + x;
+      if (px < 0 || px >= pg->bm.w) continue;
+      uint8_t s = r.get(x, y), dst = pg->bm.get(px, py), v;
+      switch (op) {
+        case 0: v = dst | s; break;
+        case 1: v = dst & s; break;
+        case 2: v = dst ^ s; break;
+        case 3: v = (dst ^ s) ^ 1; break;
+        default: v = s; break;  // REPLACE
+      }
+      pg->bm.set(px, py, v);
+    }
+  }
+}
+
+// One pass over a segment stream (T.88 7.2 headers); regions composite
+// into `pg`.  Returns false on malformed headers or on unsupported
+// segment kinds that carry page content (symbol/text/halftone/refinement).
+static bool decode_segments(const uint8_t* d, size_t n, Page* pg, int page_w,
+                            int page_h) {
+  Reader rd{d, n};
+  while (rd.p + 11 <= n) {
+    uint32_t seg_num = rd.u32();
+    uint32_t flags = rd.u8();
+    int type = flags & 0x3F;
+    bool page_assoc_4 = flags & 0x40;
+    uint32_t rts = rd.u8();
+    uint32_t count = rts >> 5;
+    if (count == 7) {
+      rd.p -= 1;
+      count = rd.u32() & 0x1FFFFFFF;
+      rd.skip((count + 8) / 8);
+    }
+    int ref_size = seg_num <= 256 ? 1 : seg_num <= 65536 ? 2 : 4;
+    rd.skip(static_cast<size_t>(count) * ref_size);
+    if (page_assoc_4)
+      rd.u32();
+    else
+      rd.u8();
+    uint32_t dlen = rd.u32();
+    if (!rd.ok || dlen == 0xFFFFFFFF) return false;  // unknown length
+    if (rd.p + dlen > n) return false;
+    const uint8_t* seg = d + rd.p;
+    size_t seg_n = dlen;
+    rd.skip(dlen);
+
+    switch (type) {
+      case 48: {  // page info
+        Reader pr{seg, seg_n};
+        uint32_t pw = pr.u32(), ph = pr.u32();
+        pr.u32();  // x resolution
+        pr.u32();  // y resolution
+        uint32_t pflags = pr.u8();
+        if (!pr.ok) return false;
+        uint8_t def_px = (pflags >> 2) & 1;
+        // The PDF image dict is authoritative for the output size; the
+        // page info's size is used when it agrees better than nothing.
+        int w = page_w > 0 ? page_w : static_cast<int>(pw);
+        int h = page_h > 0 ? page_h : static_cast<int>(ph);
+        if (!pg->inited) {
+          if (w <= 0 || h <= 0 || static_cast<long>(w) * h > 64L * 1024 * 1024)
+            return false;
+          pg->bm.init(w, h, def_px);
+          pg->inited = true;
+        }
+        break;
+      }
+      case 36:    // intermediate generic region
+      case 38:    // immediate generic region
+      case 39: {  // immediate lossless generic region
+        Reader gr{seg, seg_n};
+        uint32_t rw = gr.u32(), rh = gr.u32();
+        uint32_t rx = gr.u32(), ry = gr.u32();
+        uint32_t rflags = gr.u8();
+        int op = rflags & 7;
+        uint32_t gflags = gr.u8();
+        bool mmr = gflags & 1;
+        int tmpl = (gflags >> 1) & 3;
+        bool tpgdon = gflags & 8;
+        int8_t at[8] = {0};
+        if (!mmr) {
+          int nat = tmpl == 0 ? 4 : 1;
+          for (int i = 0; i < nat; i++) {
+            at[2 * i] = static_cast<int8_t>(gr.u8());
+            at[2 * i + 1] = static_cast<int8_t>(gr.u8());
+          }
+        }
+        if (!gr.ok) return false;
+        if (rw == 0 || rh == 0 ||
+            static_cast<long>(rw) * rh > 64L * 1024 * 1024)
+          return false;
+        Bitmap region;
+        region.init(static_cast<int>(rw), static_cast<int>(rh), 0);
+        const uint8_t* body = seg + gr.p;
+        size_t body_n = seg_n - gr.p;
+        if (mmr) {
+          // MMR = T.6 (G4); ccitt.h decodes to packed rows, 1 = black
+          // with black_is_1.
+          std::string packed;
+          std::string in(reinterpret_cast<const char*>(body), body_n);
+          if (!ccitt::decode(in, -1, static_cast<int>(rw),
+                             static_cast<int>(rh), /*black_is_1=*/true,
+                             /*byte_align=*/false, &packed))
+            return false;
+          long row_bytes = (rw + 7) / 8;
+          for (uint32_t y = 0; y < rh; y++)
+            for (uint32_t x = 0; x < rw; x++) {
+              uint8_t byte = static_cast<uint8_t>(packed[y * row_bytes + x / 8]);
+              region.set(x, y, (byte >> (7 - (x & 7))) & 1);
+            }
+        } else {
+          GenericDecoder gd;
+          if (!gd.decode(body, body_n, tmpl, tpgdon, at, &region))
+            return false;
+        }
+        if (!pg->inited) {
+          // No page info segment (some producers): size from the dict.
+          if (page_w <= 0 || page_h <= 0) return false;
+          pg->bm.init(page_w, page_h, 0);
+          pg->inited = true;
+        }
+        compose(pg, region, static_cast<int>(rx), static_cast<int>(ry), op);
+        break;
+      }
+      case 49:  // end of page
+      case 50:  // end of stripe
+      case 51:  // end of file
+      case 62:  // extension
+        break;
+      case 0:   // symbol dictionary
+      case 4:   // intermediate text region
+      case 6:   // immediate text region
+      case 7:   // immediate lossless text region
+      case 16:  // pattern dictionary
+      case 20:
+      case 22:
+      case 23:  // halftone regions
+      case 40:
+      case 42:
+      case 43:  // refinement regions
+        return false;  // content-bearing but unsupported
+      default:
+        break;  // tables/extensions: ignore
+    }
+  }
+  return rd.ok;
+}
+
+// PDF JBIG2Decode filter: optional globals stream, then the page's
+// embedded segment stream.  Output: packed 1-bit rows in the standard
+// filter convention (0 = black), ready for the engine's bpc==1 path.
+inline bool decode(const std::string& globals, const std::string& data,
+                   int width, int height, std::string* out) {
+  Page pg;
+  if (!globals.empty() &&
+      !decode_segments(reinterpret_cast<const uint8_t*>(globals.data()),
+                       globals.size(), &pg, width, height))
+    return false;
+  if (!decode_segments(reinterpret_cast<const uint8_t*>(data.data()),
+                       data.size(), &pg, width, height))
+    return false;
+  if (!pg.inited) return false;
+  int w = width > 0 ? width : pg.bm.w;
+  int h = height > 0 ? height : pg.bm.h;
+  long row_bytes = (w + 7) / 8;
+  out->assign(static_cast<size_t>(row_bytes) * h, 0);
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      // JBIG2: 1 = black; filter output: 0 = black.
+      int bit = pg.bm.get(x, y) ^ 1;
+      if (bit)
+        (*out)[static_cast<size_t>(y) * row_bytes + (x >> 3)] |=
+            static_cast<char>(0x80 >> (x & 7));
+    }
+  return true;
+}
+
+}  // namespace jbig2

@@ -13,7 +13,8 @@
 // Scope: classic + object-stream PDFs, FlateDecode, simple & Type0 fonts
 // (ToUnicode bfchar/bfrange), text showing ops, rect fills, image XObjects
 // (FlateDecode gray/RGB/Indexed, baseline-DCT JPEG — jpeg_decode.h, CCITT
-// fax — ccitt.h, and JPEG 2000 — jpx.h), and
+// fax — ccitt.h, JPEG 2000 — jpx.h, and JBIG2 generic regions — jbig2.h),
+// and
 // embedded-TrueType glyph outlines (FontFile2 — truetype.h) with the
 // built-in bitmap font as fallback for non-embedded fonts.  Unsupported
 // constructs degrade gracefully (blank regions), never crash.
@@ -37,6 +38,7 @@
 #include "ccitt.h"
 #include "cff.h"
 #include "font.h"
+#include "jbig2.h"
 #include "jpeg_decode.h"
 #include "jpx.h"
 #include "truetype.h"
@@ -1119,6 +1121,47 @@ class Document {
       img->h = jh;
       img->comps = keep;
       img->px = std::move(px);
+      return img;
+    }
+    bool jbig2_last = !filters.empty() && filters.back() == "JBIG2Decode";
+    if (jbig2_last) {
+      // Scanned-document bilevel codec (T.88): decode to packed 1-bit rows
+      // (0 = black, the standard filter convention) and fall through to
+      // the generic bpc==1 raster path like CCITT below.
+      std::string cur = s->stream;
+      for (size_t i = 0; i + 1 < filters.size(); i++) {
+        if (filters[i] == "FlateDecode" || filters[i] == "Fl") {
+          std::string out;
+          if (!inflate_bytes(cur, &out)) return nullptr;
+          cur = out;
+        } else {
+          return nullptr;
+        }
+      }
+      // /DecodeParms /JBIG2Globals: shared segment stream (symbol dicts,
+      // page defaults) referenced by several images.
+      std::string globals;
+      ObjPtr parms = resolve(get(s, "DecodeParms"));
+      if (!parms->is(Obj::kDict) && !parms->is(Obj::kArray))
+        parms = resolve(get(s, "DP"));
+      if (parms->is(Obj::kArray) && !parms->arr.empty())
+        parms = resolve(parms->arr.back());
+      if (parms->is(Obj::kDict)) {
+        ObjPtr g = resolve(get(parms, "JBIG2Globals"));
+        if (g->is(Obj::kStream)) globals = decode_stream(g);
+      }
+      std::string packed;
+      if (!jbig2::decode(globals, cur, w, h, &packed)) return nullptr;
+      // Reuse the generic 1-bit raster path below.
+      img->comps = 1;
+      img->px.assign(static_cast<size_t>(w) * h, 0);
+      long row_bytes = (w + 7) / 8;
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) {
+          int bit = (packed[static_cast<size_t>(y) * row_bytes + (x >> 3)] >>
+                     (7 - (x & 7))) & 1;
+          img->px[static_cast<size_t>(y) * w + x] = bit ? 255 : 0;
+        }
       return img;
     }
     bool ccitt_last = !filters.empty() && (filters.back() == "CCITTFaxDecode" ||
