@@ -114,9 +114,10 @@ def test_curriculum_driver_dry_run(tmp_path):
     assert [h["stage"] for h in state["history"]] == [
         "readA0", "readA1", "readA", "readB", "mixC", "denseD", "fontsE",
     ]
-    # Warm-start chain: each stage inits from the previous stage's ckpt.
-    assert state["history"][1]["ckpt"].endswith("readA_e0") is False
-    assert "readB_e0" in state["history"][1]["ckpt"]
+    # Warm-start chain: each stage's ckpt dir carries its own stage name,
+    # and the driver threads init_from through the history order.
+    assert "readA1_e0" in state["history"][1]["ckpt"]
+    assert "readB_e0" in state["history"][3]["ckpt"]
     # Resume on a complete state is a no-op that still reports shipping.
     out2 = _run(
         [
