@@ -173,6 +173,16 @@ def main():
             save()
             print("BUDGET EXHAUSTED before", stage["name"])
             return
+        # Crash recovery at sub-stage granularity: if this exact stage run
+        # already left checkpoints (tunnel/process death mid-stage), warm-
+        # start from its own newest step instead of the stage's original
+        # init — a killed run costs at most --ckpt_every steps of progress,
+        # not the whole stage (round-3 incident: docs/ROUND3_STATUS.md).
+        init_from = state["init_from"]
+        if ckpt_dir.exists() and sorted(ckpt_dir.glob("step_*")):
+            init_from = str(ckpt_dir)
+            print(f"stage {stage['name']}_e{ext}: warm-starting from its "
+                  "own partial checkpoint")
         cmd = [
             "scripts/train_vlm.py", "--preset", args.preset,
             "--data", stage.get("kind", "real"),
@@ -187,8 +197,8 @@ def main():
             "--ckpt_dir", ckpt_dir, "--ckpt_every", 500,
             "--log_every", 50,
         ]
-        if state["init_from"]:
-            cmd += ["--init_from", state["init_from"]]
+        if init_from:
+            cmd += ["--init_from", init_from]
         rc = _run(cmd, out_root / f"{stage['name']}_e{ext}.log", args.dry_run)
         if rc != 0:
             state["status"] = f"train_failed:{stage['name']}_e{ext}"

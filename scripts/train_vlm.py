@@ -125,6 +125,7 @@ def main():
         )
     )
     t_start = time.time()
+    t_last, step_last = t_start, 0
     with mesh:
         for step in range(1, args.steps + 1):
             batch = device_batch(cfg, next(data))
@@ -134,8 +135,16 @@ def main():
             state, loss = step_fn(state, batch)
             if step % args.log_every == 0 or step == 1:
                 loss_v = float(jax.device_get(loss))
-                rate = step * args.batch / (time.time() - t_start)
-                print(f"step {step:5d}  loss {loss_v:.4f}  pages/s {rate:.1f}")
+                now = time.time()
+                rate = step * args.batch / (now - t_start)
+                # marginal rate since the last log line: the steady-state
+                # number (cumulative is dragged down by compile time)
+                inst = (step - step_last) * args.batch / max(now - t_last, 1e-9)
+                t_last, step_last = now, step
+                print(
+                    f"step {step:5d}  loss {loss_v:.4f}  pages/s {rate:.1f}"
+                    f"  (inst {inst:.1f})", flush=True,
+                )
             if args.ckpt_every and step % args.ckpt_every == 0:
                 path = save_checkpoint(args.ckpt_dir, state)
                 print(f"checkpoint: {path}")
