@@ -181,13 +181,28 @@ def main() -> None:
     similarity = float(np.mean(similarities))
     gate_ok = similarity >= floor
     value = round(pages_per_sec, 3) if gate_ok else 0.0
+    # vs_baseline honesty (VERDICT r3 item 10): the reference's implied
+    # ceiling (~1 page/sec, API-bound) is only a fair comparison at a
+    # reference-class workload — dense real-prose pages at real raster
+    # sizes.  A toy render (few huge-font lines at low DPI) must not be
+    # allowed to flatter the ratio, so it is credited only when the timed
+    # render is realistic; otherwise 0.0 with the reason in the JSON.
+    realistic = data_kind == "real" and lines >= 30 and font_size <= 12 and dpi >= 150
     print(
         json.dumps(
             {
                 "metric": "pdf_to_structured_json_ingest_throughput",
                 "value": value,
                 "unit": "pages/sec/chip",
-                "vs_baseline": round(value / BASELINE_PAGES_PER_SEC, 3),
+                "vs_baseline": (
+                    round(value / BASELINE_PAGES_PER_SEC, 3) if realistic else 0.0
+                ),
+                "vs_baseline_basis": (
+                    "reference API-bound ceiling ~1.0 pages/sec (BASELINE.md); "
+                    "credited only at a realistic render (real held-out prose, "
+                    ">=30 lines, font<=12, >=150 DPI)"
+                    + ("" if realistic else " - NOT met by this render")
+                ),
                 "extraction_similarity": round(similarity, 4),
                 "quality_floor": floor,
                 "quality_gate": "pass" if gate_ok else "FAIL (value zeroed)",

@@ -197,13 +197,32 @@ def main():
              "--note",
              f"real-language answer hop: agg lm={lm_acc:.2f} vs "
              f"extractive={ex_acc:.2f}, imitate_real={imit_sim:.3f}, "
-             f"extract={ext_sim:.3f}"],
+             f"extract={ext_sim:.3f}",
+             "--evidence",
+             *[out / f"eval_{n}.json"
+               for n in ("agg_real", "imitate_real", "imitate_words")],
+             ext_json],
             out / "ship.log",
         )
         status["status"] = "shipped" if rc == 0 else f"ship_failed:{rc}"
     else:
         status["status"] = "not_shipped_gate_failed"
     save()
+    # The gate decision itself must live in-tree next to the weights it
+    # gated (VERDICT r3 weak 4: the r3 record was cited but never
+    # committed) — copy AFTER the final save so the artifact carries the
+    # terminal status.
+    if status["status"] == "shipped":
+        import shutil
+
+        from vision_compression_project_tpu.config import (
+            SHIPPED_CHECKPOINT_ROOT,
+        )
+
+        gate_dir = SHIPPED_CHECKPOINT_ROOT / args.preset / "gate"
+        gate_dir.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(status_path, gate_dir / status_path.name)
+        print(f"gate record: {gate_dir / status_path.name}")
     print(json.dumps(status, indent=1))
 
 

@@ -231,7 +231,8 @@ def main():
                      "--fonts", stage.get("fonts", "builtin"),
                      "--data", "real", "--tasks", "extract", "--steps", 0,
                      "--note",
-                     f"curriculum {stage['name']}_e{ext} sim={sim:.3f}"],
+                     f"curriculum {stage['name']}_e{ext} sim={sim:.3f}",
+                     "--evidence", ckpt_dir / "eval.json"],
                     out_root / "ship.log", args.dry_run,
                 )
                 print(f"shipped {stage['name']}_e{ext} (sim {sim:.3f})")
@@ -263,7 +264,8 @@ def main():
              "--fonts", last_stage.get("fonts", "builtin"),
              "--data", "real", "--tasks", "extract",
              "--steps", 0,
-             "--note", f"curriculum auto-ship sim={final['similarity']:.3f}"],
+             "--note", f"curriculum auto-ship sim={final['similarity']:.3f}",
+             "--evidence", Path(final["ckpt"]) / "eval.json"],
             out_root / "ship.log", args.dry_run,
         )
         print("SHIPPED", final["ckpt"])

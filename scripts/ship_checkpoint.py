@@ -43,6 +43,13 @@ def main():
         "(pdfgen aliases/paths); bench.py rotates the same fonts",
     )
     parser.add_argument("--note", default="")
+    parser.add_argument(
+        "--evidence", nargs="*", default=[],
+        help="gate/eval artifact files (JSON) to copy into the shipped "
+        "checkpoint dir as gate/<name> — every quality number quoted in "
+        "README/PARITY must have an IN-TREE artifact (VERDICT r3 weak 4); "
+        "missing files are skipped with a warning",
+    )
     args = parser.parse_args()
 
     from vision_compression_project_tpu.config import SHIPPED_CHECKPOINT_ROOT
@@ -80,6 +87,16 @@ def main():
         "note": args.note,
     }
     (out / "meta.json").write_text(json.dumps(meta, indent=1))
+    if args.evidence:
+        gate_dir = out / "gate"
+        gate_dir.mkdir(exist_ok=True)
+        for src in args.evidence:
+            src = Path(src)
+            if not src.exists():
+                print(f"WARNING: evidence file missing, skipped: {src}")
+                continue
+            shutil.copy2(src, gate_dir / src.name)
+            print(f"evidence: {gate_dir / src.name}")
     print(f"shipped: {path}")
     print(f"meta:    {out / 'meta.json'}")
 
