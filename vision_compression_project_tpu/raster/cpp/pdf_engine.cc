@@ -37,6 +37,7 @@
 
 #include "ccitt.h"
 #include "cff.h"
+#include "crypt.h"
 #include "font.h"
 #include "jbig2.h"
 #include "jpeg_decode.h"
@@ -658,6 +659,12 @@ class Document {
         data_.find("%PDF-") == std::string::npos)
       return false;
     scan_objects();
+    // Decryption must precede object-stream expansion (an ObjStm payload
+    // is decrypted as a whole; the objects inside are then parsed from
+    // PLAINTEXT and are never decrypted individually, per ISO 32000) and
+    // page building (which decodes content/font streams).
+    setup_encryption();
+    decrypt_all();
     expand_object_streams();
     build_pages();
     return true;
@@ -693,9 +700,123 @@ class Document {
         continue;
       }
       int num = atoi(data_.substr(num_start, num_end - num_start).c_str());
+      int gen = atoi(data_.substr(gen_start, gen_end - gen_start).c_str());
       Lexer lex(data_, p + 4);
       objects_[num] = lex.parse();
+      gens_[num] = gen;  // per-object decryption keys need the generation
       p = lex.pos();
+    }
+  }
+
+  // ---- Standard security handler (crypt.h; VERDICT r3 missing item 2) ----
+  // Poppler transparently decrypts standard-security PDFs for the
+  // reference's every ingest (reference backend/app/pipeline/
+  // pdf_extract.py:107-122); this does the same for the empty user
+  // password (the overwhelmingly common "owner-locked" case).
+
+  int crypt_method_from_name(const std::string& n) {
+    if (n == "V2") return vcpcrypt::kCryptRC4;
+    if (n == "AESV2") return vcpcrypt::kCryptAESV2;
+    if (n == "AESV3") return vcpcrypt::kCryptAESV3;
+    return vcpcrypt::kCryptIdentity;
+  }
+
+  void setup_encryption() {
+    // /Encrypt and /ID live in trailer dicts (classic xref) or in XRef
+    // stream dicts (modern files); the object scan ignores both, so look
+    // for them directly.
+    std::vector<ObjPtr> candidates;
+    size_t p = 0;
+    while ((p = data_.find("trailer", p)) != std::string::npos) {
+      Lexer lex(data_, p + 7);
+      ObjPtr t = lex.parse();
+      if (t->is(Obj::kDict)) candidates.push_back(t);
+      p += 7;
+    }
+    for (auto& [num, obj] : objects_) {
+      if (!obj->is(Obj::kStream)) continue;
+      ObjPtr t = get(obj, "Type");
+      if (t->is(Obj::kName) && t->str == "XRef") candidates.push_back(obj);
+    }
+    ObjPtr enc = make_null(), id = make_null();
+    for (auto& t : candidates) {
+      ObjPtr e = get(t, "Encrypt");
+      if (!e->is(Obj::kNull) && enc->is(Obj::kNull)) {
+        enc = e;
+        if (e->is(Obj::kRef)) encrypt_objnum_ = e->ref_num;
+      }
+      ObjPtr i = get(t, "ID");
+      if (i->is(Obj::kArray) && !i->arr.empty() && id->is(Obj::kNull)) id = i;
+    }
+    ObjPtr ed = resolve(enc);
+    if (!ed->is(Obj::kDict) && !ed->is(Obj::kStream)) return;
+    ObjPtr filter = resolve(get(ed, "Filter"));
+    if (!filter->is(Obj::kName) || filter->str != "Standard") return;
+
+    vcpcrypt::CryptParams cp;
+    cp.V = static_cast<int>(resolve(get(ed, "V"))->as_num(0));
+    cp.R = static_cast<int>(resolve(get(ed, "R"))->as_num(2));
+    cp.length_bits = static_cast<int>(resolve(get(ed, "Length"))->as_num(40));
+    cp.O = resolve(get(ed, "O"))->str;
+    cp.U = resolve(get(ed, "U"))->str;
+    cp.OE = resolve(get(ed, "OE"))->str;
+    cp.UE = resolve(get(ed, "UE"))->str;
+    cp.P = static_cast<int>(resolve(get(ed, "P"))->as_num(-1));
+    ObjPtr em = resolve(get(ed, "EncryptMetadata"));
+    if (em->is(Obj::kBool)) cp.encrypt_metadata = em->bval;
+    ObjPtr id0 = id->is(Obj::kArray) ? resolve(id->arr[0]) : make_null();
+    if (id0->is(Obj::kStr)) cp.id0 = id0->str;
+    if (cp.V >= 4) {
+      // Crypt filters: resolve /StmF and /StrF through the /CF map.
+      ObjPtr cf = resolve(get(ed, "CF"));
+      auto method_for = [&](const char* key) {
+        ObjPtr fname = resolve(get(ed, key));
+        if (!fname->is(Obj::kName) || fname->str == "Identity")
+          return static_cast<int>(vcpcrypt::kCryptIdentity);
+        ObjPtr f = cf->is(Obj::kDict) ? resolve(get(cf, fname->str))
+                                      : make_null();
+        ObjPtr cfm = resolve(get(f, "CFM"));
+        return crypt_method_from_name(cfm->is(Obj::kName) ? cfm->str : "");
+      };
+      cp.stm_method = method_for("StmF");
+      cp.str_method = method_for("StrF");
+    }
+    crypt_.setup(cp);
+  }
+
+  void decrypt_all() {
+    if (!crypt_.active) return;
+    for (auto& [num, obj] : objects_) {
+      if (num == encrypt_objnum_) continue;  // /Encrypt strings stay plain
+      auto it = gens_.find(num);
+      decrypt_tree(obj, num, it == gens_.end() ? 0 : it->second, 0);
+    }
+  }
+
+  void decrypt_tree(const ObjPtr& o, int num, int gen, int depth) {
+    if (!o || depth > 64) return;
+    switch (o->type) {
+      case Obj::kStr:
+        o->str = crypt_.decrypt(o->str, num, gen, /*is_stream=*/false);
+        break;
+      case Obj::kArray:
+        for (auto& e : o->arr) decrypt_tree(e, num, gen, depth + 1);
+        break;
+      case Obj::kStream: {
+        // XRef streams are never encrypted (they must be readable before
+        // any key exists); everything else is.
+        ObjPtr t = get(o, "Type");
+        bool is_xref = t->is(Obj::kName) && t->str == "XRef";
+        for (auto& [k, v] : o->dict) decrypt_tree(v, num, gen, depth + 1);
+        if (!is_xref)
+          o->stream = crypt_.decrypt(o->stream, num, gen, /*is_stream=*/true);
+        break;
+      }
+      case Obj::kDict:
+        for (auto& [k, v] : o->dict) decrypt_tree(v, num, gen, depth + 1);
+        break;
+      default:
+        break;
     }
   }
 
@@ -1662,6 +1783,9 @@ class Document {
 
   std::string data_;
   std::map<int, ObjPtr> objects_;
+  std::map<int, int> gens_;            // object number -> generation
+  vcpcrypt::PdfCrypt crypt_;           // standard security handler
+  int encrypt_objnum_ = -1;            // /Encrypt dict's object number
   std::vector<PageData> pages_;
 
   friend class ContentInterp;
