@@ -124,6 +124,141 @@ inline uint32_t cff_name_to_unicode(const std::string& name) {
   return 0;
 }
 
+// ---- Shared glyph-outline machinery (CFF Type2 + Type1 interpreters) ----
+//
+// GlyphEdge / OutlineCtx / fill_glyph_edges are the charstring-agnostic
+// half of the rasterizer: a charstring interpreter (Type2 below, Type1 in
+// type1.h) emits font-space moveto/lineto/curveto into an OutlineCtx, which
+// flattens to device-space edges; fill_glyph_edges scanline-fills them.
+
+struct GlyphEdge { double x0, y0, x1, y1; };
+
+struct OutlineCtx {
+  double x = 0, y = 0;
+  double start_x = 0, start_y = 0;
+  bool in_contour = false;
+  double scale = 1, ox = 0, oy = 0;
+  std::vector<GlyphEdge>* edges = nullptr;
+
+  void dev(double fx, double fy, double* px, double* py) const {
+    *px = ox + fx * scale;
+    *py = oy - fy * scale;
+  }
+  void line_to(double nx, double ny) {
+    double a, b, c, d;
+    dev(x, y, &a, &b);
+    dev(nx, ny, &c, &d);
+    if (b != d) edges->push_back({a, b, c, d});
+    x = nx;
+    y = ny;
+  }
+  void curve_to(double c1x, double c1y, double c2x, double c2y, double ex,
+                double ey) {
+    const int segs = 12;
+    double px = x, py = y;
+    double x0 = x, y0 = y;
+    for (int t = 1; t <= segs; t++) {
+      double u = static_cast<double>(t) / segs, w = 1 - u;
+      double qx = w * w * w * x0 + 3 * w * w * u * c1x + 3 * w * u * u * c2x +
+                  u * u * u * ex;
+      double qy = w * w * w * y0 + 3 * w * w * u * c1y + 3 * w * u * u * c2y +
+                  u * u * u * ey;
+      double a, b, c, d;
+      dev(px, py, &a, &b);
+      dev(qx, qy, &c, &d);
+      if (b != d) edges->push_back({a, b, c, d});
+      px = qx;
+      py = qy;
+    }
+    x = ex;
+    y = ey;
+  }
+  void close_contour() {
+    if (in_contour && (x != start_x || y != start_y)) {
+      double a, b, c, d;
+      dev(x, y, &a, &b);
+      dev(start_x, start_y, &c, &d);
+      if (b != d) edges->push_back({a, b, c, d});
+    }
+    in_contour = false;
+  }
+  void move_to(double nx, double ny) {
+    close_contour();
+    x = nx;
+    y = ny;
+    start_x = nx;
+    start_y = ny;
+    in_contour = true;
+  }
+};
+
+// Anti-aliased nonzero scanline fill (same approach as truetype.h): 4
+// vertical subsamples per scanline with exact horizontal coverage, blended
+// over the framebuffer — small glyphs (12pt text at model DPI) keep their
+// shape instead of thresholding to blobs, matching what standard
+// rasterizers feed OCR.
+inline void fill_glyph_edges(std::vector<GlyphEdge>& edges, unsigned char* img,
+                             int W, int H, unsigned char gray) {
+  double ymin = 1e18, ymax = -1e18;
+  for (auto& e : edges) {
+    ymin = std::min(ymin, std::min(e.y0, e.y1));
+    ymax = std::max(ymax, std::max(e.y0, e.y1));
+  }
+  int y0 = std::max(0, static_cast<int>(floor(ymin)));
+  int y1 = std::min(H - 1, static_cast<int>(ceil(ymax)));
+  if (y1 < y0) return;
+  const int SS = 4;
+  std::vector<std::pair<double, int>> xw;
+  std::vector<double> cov(W, 0.0);
+  for (int y = y0; y <= y1; y++) {
+    std::fill(cov.begin(), cov.end(), 0.0);
+    for (int sub = 0; sub < SS; sub++) {
+      double sy = y + (sub + 0.5) / SS;
+      xw.clear();
+      for (auto& e : edges) {
+        double ey0 = e.y0, ey1 = e.y1, ex0 = e.x0, ex1 = e.x1;
+        int dir = 1;
+        if (ey0 > ey1) { std::swap(ey0, ey1); std::swap(ex0, ex1); dir = -1; }
+        if (sy < ey0 || sy >= ey1) continue;
+        double t = (sy - ey0) / (ey1 - ey0);
+        xw.push_back({ex0 + t * (ex1 - ex0), dir});
+      }
+      if (xw.empty()) continue;
+      std::sort(xw.begin(), xw.end());
+      int wind = 0;
+      double span_x = 0;
+      for (auto& [x, dir] : xw) {
+        if (wind == 0) span_x = x;
+        wind += dir;
+        if (wind == 0) {
+          double xa = std::max(0.0, span_x);
+          double xb = std::min(static_cast<double>(W), x);
+          if (xb <= xa) continue;
+          int ixa = static_cast<int>(floor(xa));
+          int ixb = static_cast<int>(floor(xb - 1e-9));
+          if (ixa == ixb) {
+            cov[ixa] += (xb - xa) / SS;
+          } else {
+            cov[ixa] += (ixa + 1 - xa) / SS;
+            for (int px = ixa + 1; px < ixb; px++) cov[px] += 1.0 / SS;
+            cov[ixb] += (xb - ixb) / SS;
+          }
+        }
+      }
+    }
+    for (int px = 0; px < W; px++) {
+      double c = cov[px];
+      if (c <= 0.002) continue;
+      if (c > 1.0) c = 1.0;
+      unsigned char* q = img + (static_cast<long>(y) * W + px) * 3;
+      for (int ch = 0; ch < 3; ch++) {
+        double v = q[ch] * (1.0 - c) + gray * c;
+        q[ch] = static_cast<unsigned char>(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
+    }
+  }
+}
+
 class CffFont {
  public:
   bool parse(const std::string& data) {
@@ -194,14 +329,14 @@ class CffFont {
     ctx.edges = &edges;
     if (!run_charstring(gid, &ctx, 0) || edges.empty()) return;
     ctx.close_contour();
-    fill_edges(edges, img, W, H, gray);
+    fill_glyph_edges(edges, img, W, H, gray);
   }
 
  private:
   struct Index {
     std::vector<uint32_t> offsets;  // count+1 absolute offsets into d_
   };
-  struct Edge { double x0, y0, x1, y1; };
+  using Edge = GlyphEdge;
 
   uint16_t u16(size_t p) const {
     return p + 2 <= n_ ? (d_[p] << 8) | d_[p + 1] : 0;
@@ -479,69 +614,13 @@ class CffFont {
 
   // ---- Type2 charstring interpreter -------------------------------------
 
-  struct T2Ctx {
+  struct T2Ctx : OutlineCtx {
     double stack[48];
     int sp = 0;
-    double x = 0, y = 0;
-    double start_x = 0, start_y = 0;
-    bool in_contour = false;
     int nstems = 0;
     bool width_parsed = false;
-    double scale = 1, ox = 0, oy = 0;
-    std::vector<Edge>* edges = nullptr;
     double trans[32];
     int tsp = 0;
-
-    void dev(double fx, double fy, double* px, double* py) const {
-      *px = ox + fx * scale;
-      *py = oy - fy * scale;
-    }
-    void line_to(double nx, double ny) {
-      double a, b, c, d;
-      dev(x, y, &a, &b);
-      dev(nx, ny, &c, &d);
-      if (b != d) edges->push_back({a, b, c, d});
-      x = nx;
-      y = ny;
-    }
-    void curve_to(double c1x, double c1y, double c2x, double c2y, double ex,
-                  double ey) {
-      const int segs = 12;
-      double px = x, py = y;
-      double x0 = x, y0 = y;
-      for (int t = 1; t <= segs; t++) {
-        double u = static_cast<double>(t) / segs, w = 1 - u;
-        double qx = w * w * w * x0 + 3 * w * w * u * c1x + 3 * w * u * u * c2x +
-                    u * u * u * ex;
-        double qy = w * w * w * y0 + 3 * w * w * u * c1y + 3 * w * u * u * c2y +
-                    u * u * u * ey;
-        double a, b, c, d;
-        dev(px, py, &a, &b);
-        dev(qx, qy, &c, &d);
-        if (b != d) edges->push_back({a, b, c, d});
-        px = qx;
-        py = qy;
-      }
-      x = ex;
-      y = ey;
-    }
-    void close_contour() {
-      if (in_contour && (x != start_x || y != start_y)) {
-        double a, b, c, d;
-        dev(x, y, &a, &b);
-        dev(start_x, start_y, &c, &d);
-        if (b != d) edges->push_back({a, b, c, d});
-      }
-      in_contour = false;
-    }
-    void move_to(double nx, double ny) {
-      close_contour();
-      x = nx;
-      y = ny;
-      start_x = nx;
-      start_y = ny;
-      in_contour = true;
-    }
   };
 
   static int subr_bias(size_t count) {
@@ -841,73 +920,6 @@ class CffFont {
     double c1x = ctx->x + a[0], c1y = ctx->y + a[1];
     double c2x = c1x + a[2], c2y = c1y + a[3];
     ctx->curve_to(c1x, c1y, c2x, c2y, c2x + a[4], c2y + a[5]);
-  }
-
-  // Non-zero-winding scanline fill (same approach as truetype.h).
-  static void fill_edges(std::vector<Edge>& edges, unsigned char* img, int W,
-                         int H, unsigned char gray) {
-    // Anti-aliased nonzero fill: 4 vertical subsamples per scanline with
-    // exact horizontal coverage, blended over the framebuffer — small
-    // glyphs (12pt text at model DPI) keep their shape instead of
-    // thresholding to blobs, matching what standard rasterizers feed OCR.
-    double ymin = 1e18, ymax = -1e18;
-    for (auto& e : edges) {
-      ymin = std::min(ymin, std::min(e.y0, e.y1));
-      ymax = std::max(ymax, std::max(e.y0, e.y1));
-    }
-    int y0 = std::max(0, static_cast<int>(floor(ymin)));
-    int y1 = std::min(H - 1, static_cast<int>(ceil(ymax)));
-    if (y1 < y0) return;
-    const int SS = 4;
-    std::vector<std::pair<double, int>> xw;
-    std::vector<double> cov(W, 0.0);
-    for (int y = y0; y <= y1; y++) {
-      std::fill(cov.begin(), cov.end(), 0.0);
-      for (int sub = 0; sub < SS; sub++) {
-        double sy = y + (sub + 0.5) / SS;
-        xw.clear();
-        for (auto& e : edges) {
-          double ey0 = e.y0, ey1 = e.y1, ex0 = e.x0, ex1 = e.x1;
-          int dir = 1;
-          if (ey0 > ey1) { std::swap(ey0, ey1); std::swap(ex0, ex1); dir = -1; }
-          if (sy < ey0 || sy >= ey1) continue;
-          double t = (sy - ey0) / (ey1 - ey0);
-          xw.push_back({ex0 + t * (ex1 - ex0), dir});
-        }
-        if (xw.empty()) continue;
-        std::sort(xw.begin(), xw.end());
-        int wind = 0;
-        double span_x = 0;
-        for (auto& [x, dir] : xw) {
-          if (wind == 0) span_x = x;
-          wind += dir;
-          if (wind == 0) {
-            double xa = std::max(0.0, span_x);
-            double xb = std::min(static_cast<double>(W), x);
-            if (xb <= xa) continue;
-            int ixa = static_cast<int>(floor(xa));
-            int ixb = static_cast<int>(floor(xb - 1e-9));
-            if (ixa == ixb) {
-              cov[ixa] += (xb - xa) / SS;
-            } else {
-              cov[ixa] += (ixa + 1 - xa) / SS;
-              for (int px = ixa + 1; px < ixb; px++) cov[px] += 1.0 / SS;
-              cov[ixb] += (xb - ixb) / SS;
-            }
-          }
-        }
-      }
-      for (int px = 0; px < W; px++) {
-        double c = cov[px];
-        if (c <= 0.002) continue;
-        if (c > 1.0) c = 1.0;
-        unsigned char* q = img + (static_cast<long>(y) * W + px) * 3;
-        for (int ch = 0; ch < 3; ch++) {
-          double v = q[ch] * (1.0 - c) + gray * c;
-          q[ch] = static_cast<unsigned char>(v < 0 ? 0 : (v > 255 ? 255 : v));
-        }
-      }
-    }
   }
 
   std::string blob_;

@@ -43,6 +43,7 @@
 #include "jpeg_decode.h"
 #include "jpx.h"
 #include "truetype.h"
+#include "type1.h"
 
 namespace vcpr {
 
@@ -479,6 +480,11 @@ struct Font {
   std::shared_ptr<TtfFont> ttf;
   // Embedded CFF program (FontFile3: Type1C / CIDFontType0C / OpenType).
   std::shared_ptr<CffFont> cff;
+  // Embedded plain Type1 program (FontFile, eexec-encrypted PostScript).
+  std::shared_ptr<Type1Font> t1;
+  // Type1 code -> glyph name: built-in encoding overlaid with the PDF font
+  // dict's /Encoding /Differences.
+  std::map<uint32_t, std::string> t1_names;
   std::shared_ptr<std::vector<uint16_t>> cid_to_gid;  // null = identity
   // Type3: glyph procedures (decoded content streams) in glyph space,
   // mapped to text space by font_matrix (matplotlib's DEFAULT pdf font).
@@ -486,6 +492,26 @@ struct Font {
   std::map<uint32_t, std::string> char_procs;  // code -> content stream
   double font_matrix[6] = {0.001, 0, 0, 0.001, 0, 0};
 };
+
+inline std::string cp_to_utf8(uint32_t cp) {
+  std::string out;
+  if (cp < 0x80) {
+    out += static_cast<char>(cp);
+  } else if (cp < 0x800) {
+    out += static_cast<char>(0xC0 | (cp >> 6));
+    out += static_cast<char>(0x80 | (cp & 0x3F));
+  } else if (cp < 0x10000) {
+    out += static_cast<char>(0xE0 | (cp >> 12));
+    out += static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+    out += static_cast<char>(0x80 | (cp & 0x3F));
+  } else {
+    out += static_cast<char>(0xF0 | (cp >> 18));
+    out += static_cast<char>(0x80 | ((cp >> 12) & 0x3F));
+    out += static_cast<char>(0x80 | ((cp >> 6) & 0x3F));
+    out += static_cast<char>(0x80 | (cp & 0x3F));
+  }
+  return out;
+}
 
 // Minimal glyph-name -> unicode (AGL subset) for Type3 /Differences.
 inline std::string glyphname_to_unicode(const std::string& n) {
@@ -516,6 +542,11 @@ inline std::string glyphname_to_unicode(const std::string& n) {
 struct ImageXObject {
   int w = 0, h = 0, comps = 1;  // comps: 1 gray / 3 RGB
   std::vector<uint8_t> px;      // 8-bit interleaved
+  // /SMask soft mask: per-pixel alpha (0 = transparent, 255 = opaque) on
+  // its own grid (aw x ah — the mask may be a different resolution than
+  // the image; sampled in unit-square coordinates at draw time).
+  int aw = 0, ah = 0;
+  std::vector<uint8_t> alpha;
 };
 
 struct PositionedRun {
@@ -1159,14 +1190,84 @@ class Document {
             if (cff->parse(bytes) && cff->ok()) font.cff = cff;
           }
         }
+        // FontFile: the original eexec-encrypted PostScript Type1 program
+        // (ghostscript output, older LaTeX, base-35 substitutes).
+        ObjPtr ff1 = resolve(get(fd, "FontFile"));
+        if (!font.ttf && !font.cff && ff1->is(Obj::kStream)) {
+          std::string bytes = decode_stream(ff1);
+          size_t l1 = static_cast<size_t>(
+              resolve(get(ff1, "Length1"))->as_num(0));
+          size_t l2 = static_cast<size_t>(
+              resolve(get(ff1, "Length2"))->as_num(0));
+          if (!bytes.empty()) {
+            auto t1 = std::make_shared<Type1Font>();
+            if (t1->parse(bytes, l1, l2) && t1->ok()) {
+              font.t1 = t1;
+              // code -> glyph name: built-in encoding, then the PDF font
+              // dict's /Encoding (a bare name means one of the standard
+              // encodings — their ASCII block matches StandardEncoding),
+              // then /Differences overrides.
+              font.t1_names = t1->encoding();
+              ObjPtr enc = resolve(get(f, "Encoding"));
+              if (enc->is(Obj::kName) || font.t1_names.empty())
+                for (int code = 32; code <= 126; code++)
+                  font.t1_names[code] = kCffStdStrings[code - 31];
+              ObjPtr diffs = enc->is(Obj::kDict)
+                                 ? resolve(get(enc, "Differences"))
+                                 : make_null();
+              if (diffs->is(Obj::kArray)) {
+                uint32_t code = 0;
+                for (auto& e : diffs->arr) {
+                  ObjPtr r = resolve(e);
+                  if (r->is(Obj::kNum))
+                    code = static_cast<uint32_t>(r->num);
+                  else if (r->is(Obj::kName))
+                    font.t1_names[code++] = r->str;
+                }
+              }
+              // Extraction fallback: glyph names carry the unicode when no
+              // /ToUnicode CMap is present.
+              for (auto& [code, gname] : font.t1_names) {
+                if (font.to_unicode.count(code)) continue;
+                uint32_t cp = cff_name_to_unicode(gname);
+                if (cp) font.to_unicode[code] = cp_to_utf8(cp);
+              }
+            }
+          }
+        }
       }
       pd->fonts[name] = std::move(font);
     }
   }
 
-  // Decode an image XObject stream into 8-bit gray/RGB pixels.  Returns
-  // null on unsupported constructs (caller leaves the region blank).
+  // Decode an image XObject stream into 8-bit gray/RGB pixels, attaching
+  // the /SMask soft mask (alpha) when present — Poppler composites these
+  // for every masked logo/figure the reference ingests.
   std::shared_ptr<ImageXObject> decode_image(const ObjPtr& s) {
+    auto img = decode_image_base(s);
+    if (!img) return img;
+    ObjPtr sm = resolve(get(s, "SMask"));
+    if (sm->is(Obj::kStream)) {
+      auto mask = decode_image_base(sm);
+      if (mask && !mask->px.empty()) {
+        img->aw = mask->w;
+        img->ah = mask->h;
+        if (mask->comps == 1) {
+          img->alpha = std::move(mask->px);
+        } else {
+          // RGB-decoded mask (unusual): take the first channel as alpha.
+          img->alpha.resize(static_cast<size_t>(mask->w) * mask->h);
+          for (size_t i = 0; i < img->alpha.size(); i++)
+            img->alpha[i] = mask->px[i * mask->comps];
+        }
+      }
+    }
+    return img;
+  }
+
+  // Decode the pixel payload only (no soft mask attachment).  Returns
+  // null on unsupported constructs (caller leaves the region blank).
+  std::shared_ptr<ImageXObject> decode_image_base(const ObjPtr& s) {
     int w = static_cast<int>(resolve(get(s, "Width"))->as_num(0));
     int h = static_cast<int>(resolve(get(s, "Height"))->as_num(0));
     int bpc = static_cast<int>(resolve(get(s, "BitsPerComponent"))->as_num(8));
@@ -1228,15 +1329,34 @@ class Document {
       std::vector<uint8_t> px;
       int jw = 0, jh = 0, jc = 0;
       if (!dec.decode(cur, &px, &jw, &jh, &jc)) return nullptr;
-      // 2 comps = gray+alpha, 4 = RGB+alpha (JP2 opacity channel; PDF
-      // carries masking via SMaskInData, which we ignore): drop alpha.
+      // 2 comps = gray+alpha, 4 = RGB+alpha (JP2 opacity channel).  With
+      // /SMaskInData >= 1 the opacity channel IS the soft mask (Pillow
+      // writes RGBA PDFs this way); value 2 means premultiplied samples.
       int keep = jc == 2 ? 1 : jc == 4 ? 3 : jc;
+      int smask_in_data = static_cast<int>(
+          resolve(get(s, "SMaskInData"))->as_num(0));
       if (keep != jc) {
         std::vector<uint8_t> stripped(static_cast<size_t>(jw) * jh * keep);
-        for (long i = 0; i < static_cast<long>(jw) * jh; i++)
-          for (int ci = 0; ci < keep; ci++)
-            stripped[i * keep + ci] = px[i * jc + ci];
+        std::vector<uint8_t> alpha;
+        if (smask_in_data >= 1)
+          alpha.resize(static_cast<size_t>(jw) * jh);
+        for (long i = 0; i < static_cast<long>(jw) * jh; i++) {
+          uint8_t a = px[i * jc + keep];
+          for (int ci = 0; ci < keep; ci++) {
+            uint8_t v = px[i * jc + ci];
+            if (smask_in_data == 2 && a > 0)  // un-premultiply
+              v = static_cast<uint8_t>(
+                  std::min(255, (static_cast<int>(v) * 255 + a / 2) / a));
+            stripped[i * keep + ci] = v;
+          }
+          if (!alpha.empty()) alpha[i] = a;
+        }
         px = std::move(stripped);
+        if (!alpha.empty()) {
+          img->aw = jw;
+          img->ah = jh;
+          img->alpha = std::move(alpha);
+        }
       }
       img->w = jw;
       img->h = jh;
@@ -2807,6 +2927,27 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
         iy0 = std::min(im.h - 1, std::max(0, iy0));
         const uint8_t* base = im.px.data();
         unsigned char* q = out + (static_cast<long>(py) * W + px) * 3;
+        // /SMask alpha: bilinear sample of the mask (its own grid) in the
+        // same unit-square coordinates, then composite over the page.
+        double a = 1.0;
+        if (!im.alpha.empty() && im.aw > 0 && im.ah > 0) {
+          double afx = u * im.aw - 0.5, afy = (1.0 - v) * im.ah - 0.5;
+          int ax0 = static_cast<int>(floor(afx));
+          int ay0 = static_cast<int>(floor(afy));
+          double awx = afx - ax0, awy = afy - ay0;
+          int ax1 = std::min(im.aw - 1, std::max(0, ax0 + 1));
+          int ay1 = std::min(im.ah - 1, std::max(0, ay0 + 1));
+          ax0 = std::min(im.aw - 1, std::max(0, ax0));
+          ay0 = std::min(im.ah - 1, std::max(0, ay0));
+          auto aat = [&](int yy, int xx) {
+            return static_cast<double>(
+                im.alpha[static_cast<size_t>(yy) * im.aw + xx]);
+          };
+          double atop = aat(ay0, ax0) * (1 - awx) + aat(ay0, ax1) * awx;
+          double abot = aat(ay1, ax0) * (1 - awx) + aat(ay1, ax1) * awx;
+          a = (atop * (1 - awy) + abot * awy) / 255.0;
+          if (a < 0.004) continue;
+        }
         for (int c = 0; c < 3; c++) {
           int cc = im.comps == 3 ? c : 0;
           auto at = [&](int yy, int xx) {
@@ -2816,6 +2957,7 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
           double vtop = at(iy0, ix0) * (1 - wx) + at(iy0, ix1) * wx;
           double vbot = at(iy1, ix0) * (1 - wx) + at(iy1, ix1) * wx;
           double vv = vtop * (1 - wy) + vbot * wy;
+          vv = q[c] * (1.0 - a) + vv * a;
           q[c] = static_cast<unsigned char>(
               vv < 0 ? 0 : (vv > 255 ? 255 : lrint(vv)));
         }
@@ -3040,6 +3182,21 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
       }
       continue;
     }
+    if (run.font && run.font->t1 && run.font->t1->ok() &&
+        run.codes.size() == run.offsets.size()) {
+      // Real outlines from the embedded Type1 (FontFile) program: codes map
+      // to glyph names via the built-in/PDF encoding.
+      const Type1Font& t1 = *run.font->t1;
+      double scale = size_px / t1.units_per_em();
+      for (size_t i = 0; i < run.codes.size(); i++) {
+        auto it = run.font->t1_names.find(run.codes[i]);
+        if (it == run.font->t1_names.end() || !t1.has_glyph(it->second))
+          continue;
+        t1.rasterize_name(it->second, scale, x + run.offsets[i] * s, y, out,
+                          W, H, 0);
+      }
+      continue;
+    }
     double advance = size_px * 0.55;
     for (char c : run.text) {
       if (static_cast<unsigned char>(c) >= 0x80) continue;  // ASCII-only font
@@ -3208,7 +3365,8 @@ int vcpr_page_complexity(void* handle, int page) {
   int flags = 0;
   if (!pd.images.empty()) flags |= 1;
   for (auto& [name, f] : pd.fonts)
-    if ((f.ttf && f.ttf->ok()) || (f.cff && f.cff->ok()) || f.type3)
+    if ((f.ttf && f.ttf->ok()) || (f.cff && f.cff->ok()) ||
+        (f.t1 && f.t1->ok()) || f.type3)
       flags |= 2;
   // bit 2: shadings / vector path fills (figures) — CPU-raster only.
   if (!pd.shadings.empty()) flags |= 4;
