@@ -50,6 +50,7 @@ def test_flash_attention_grad_gqa_kvlen():
 
 
 @pytest.mark.parametrize("s", [130, 222, 300])
+@pytest.mark.slow
 def test_flash_attention_ragged_length_matches_reference(s):
     """Non-block-multiple sequence lengths (e.g. the 2046-token VLM training
     forward) must run the padded flash path with identical values and

@@ -74,6 +74,7 @@ def test_get_tokenizer_selects_by_config():
     assert bpe.vocab_size == get_preset("ocr_bpe").decoder.vocab
 
 
+@pytest.mark.slow
 def test_runner_extracts_with_bpe_vocab():
     """Mechanics with the BPE model: valid 4-key records, decodable text."""
     from vision_compression_project_tpu.models import VLMRunner, get_preset

@@ -39,6 +39,7 @@ def cli_workspace(tmp_path_factory):
     return ws
 
 
+@pytest.mark.slow
 def test_cli_full_flow(cli_workspace):
     ws = cli_workspace
     out = _run(
@@ -94,6 +95,7 @@ def test_cli_extract_page(cli_workspace):
     assert (ws / "output" / "page_1.png").exists()
 
 
+@pytest.mark.slow
 def test_curriculum_driver_dry_run(tmp_path):
     """The unattended curriculum driver plans the full hop chain, persists
     resumable state, and chains warm-starts stage to stage."""

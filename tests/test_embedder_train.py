@@ -3,11 +3,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from vision_compression_project_tpu.models.configs import EmbedderConfig
+import pytest
+
 from vision_compression_project_tpu.train.embedder_train import (
     embedder_train_step,
     make_embedder_train_state,
     synthetic_pair_batches,
 )
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core host
 
 
 def test_contrastive_training_reduces_loss_and_improves_retrieval():

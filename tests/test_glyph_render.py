@@ -6,8 +6,10 @@ from vision_compression_project_tpu.ops.glyph_render import (
     render_pages_from_glyphs,
 )
 from vision_compression_project_tpu.raster import PdfDocument, make_pdf
+import pytest
 
 
+@pytest.mark.slow
 def test_device_render_matches_cpu_render(tmp_path):
     pages = [
         "Render Parity\nThe quick brown fox jumps over the lazy dog.\n"

@@ -101,6 +101,7 @@ def test_amortized_doubling_growth():
 @pytest.mark.skipif(
     os.environ.get("VCP_SKIP_SLOW") == "1", reason="slow scale test"
 )
+@pytest.mark.slow
 def test_scale_ingest_and_search(mesh8):
     """Large-corpus ingest (VCP_INDEX_SCALE_N to override; the 100k-row
     measurement runs via scripts/bench_index.py where it owns the machine —

@@ -28,6 +28,7 @@ def tiny_runner():
     return VLMRunner(get_preset("tiny"), seed=0, max_new_default=16)
 
 
+@pytest.mark.slow
 def test_vlm_forward_shapes(tiny_runner):
     cfg = tiny_runner.cfg
     grid = cfg.vision.grid
@@ -121,6 +122,7 @@ def test_moe_preset_forward():
     assert logits.shape[-1] == cfg.decoder.vocab
 
 
+@pytest.mark.slow
 def test_vlm_runner_mesh_dp_tp(mesh8):
     """Mesh-aware serving: params TP/EP-sharded, page batch over data axis."""
     import numpy as np

@@ -11,6 +11,9 @@ import socket
 import subprocess
 import sys
 from pathlib import Path
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core host
 
 REPO = Path(__file__).resolve().parent.parent
 

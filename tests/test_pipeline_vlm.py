@@ -12,6 +12,7 @@ def tiny_runner():
     return VLMRunner(get_preset("tiny"), max_new_default=12)
 
 
+@pytest.mark.slow
 def test_vlm_engine_pipeline(tmp_path, tiny_runner):
     """Full extract with the VLM engine (async two-deep pipeline) across
     multiple batches."""
@@ -31,6 +32,7 @@ def test_vlm_engine_pipeline(tmp_path, tiny_runner):
         assert record["page_number"] == page
 
 
+@pytest.mark.slow
 def test_vlm_engine_failure_tracking(tmp_path, tiny_runner, monkeypatch):
     """A failing device batch marks only its pages as failed (reference
     failed-page semantics, pdf_extract.py:343-350)."""

@@ -19,6 +19,7 @@ def mesh_pp4():
     return build_mesh(MeshConfig(data=2, seq=1, expert=1, model=4))
 
 
+@pytest.mark.slow
 def test_pipelined_decoder_matches_sequential(mesh_pp4):
     cfg = DecoderConfig(
         dim=64, depth=4, heads=4, kv_heads=2, head_dim=16, max_seq=64,

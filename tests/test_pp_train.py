@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute on the 1-core host
 from flax import linen as nn
 from jax.sharding import NamedSharding, PartitionSpec as P
 

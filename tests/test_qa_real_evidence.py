@@ -11,6 +11,8 @@ import numpy as np
 
 from vision_compression_project_tpu.models import get_preset
 from vision_compression_project_tpu.models.tokenizer import PAD_ID
+import pytest
+
 from vision_compression_project_tpu.train.data import (
     _synthetic_agg_qa_example,
     _synthetic_qa_example,
@@ -74,6 +76,7 @@ def test_qa_batches_mixed_draws_both_distributions():
     next(it)  # builds without error; pool load is cached process-wide
 
 
+@pytest.mark.slow
 def test_decode_budget_clamped_to_context():
     """A max_new larger than the remaining context must be truncated, not
     allowed to wrap the KV cache (clamped dynamic_update_slice writes

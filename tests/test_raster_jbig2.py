@@ -348,12 +348,13 @@ def test_mmr_region_from_pil_g4(tmp_path):
     _assert_matches(_render(pdf), bm)
 
 
-def test_unsupported_symbol_region_blank_not_crash(tmp_path):
-    """A symbol-dictionary segment (unsupported) leaves the page blank."""
+def test_unsupported_halftone_region_blank_not_crash(tmp_path):
+    """A pattern-dictionary segment (halftone organization, unsupported)
+    leaves the page blank."""
     bm = _test_bitmap()
     h, w = bm.shape
-    data = page_info_seg(0, w, h) + seg(1, 0, 1, b"\x00" * 8)
-    pdf = tmp_path / "sym.pdf"
+    data = page_info_seg(0, w, h) + seg(1, 16, 1, b"\x00" * 8)
+    pdf = tmp_path / "halftone.pdf"
     build_pdf(pdf, data, w, h)
     page = _render(pdf)  # must not crash
     assert (page > 200).mean() > 0.95  # blank
@@ -376,3 +377,246 @@ def test_mq_encoder_roundtrip_random():
     pdf = tmp / "rand.pdf"
     build_pdf(pdf, data, w, h)
     _assert_matches(_render(pdf), bm)
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary + text region (T.88 6.4/6.5 + Annex A integer coding)
+# ---------------------------------------------------------------------------
+
+OOB = "OOB"
+
+
+def _encode_int(enc, proc, v):
+    """IAx integer encoding (T.88 Annex A.2, encoder side).  Context keys
+    are (proc, PREV) tuples so each statistical class has its own tree."""
+    prev = 1
+
+    def bit(b):
+        nonlocal prev
+        enc.encode((proc, prev), b)
+        prev = (prev << 1) | b if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+
+    def bits(val, k):
+        for i in range(k - 1, -1, -1):
+            bit((val >> i) & 1)
+
+    if v == OOB:
+        bit(1)        # sign
+        bit(0)        # first band
+        bits(0, 2)    # value 0 with negative sign = OOB
+        return
+    s = 1 if v < 0 else 0
+    va = abs(v)
+    bit(s)
+    if va <= 3:
+        bit(0); bits(va, 2)
+    elif va <= 19:
+        bit(1); bit(0); bits(va - 4, 4)
+    elif va <= 83:
+        bit(1); bit(1); bit(0); bits(va - 20, 6)
+    elif va <= 339:
+        bit(1); bit(1); bit(1); bit(0); bits(va - 84, 8)
+    elif va <= 4435:
+        bit(1); bit(1); bit(1); bit(1); bit(0); bits(va - 340, 12)
+    else:
+        bit(1); bit(1); bit(1); bit(1); bit(1); bits(va - 4436, 32)
+
+
+def _encode_iaid(enc, symcodelen, sym_id):
+    """IAID encoding (A.3): symcodelen bits MSB-first through a PREV tree."""
+    prev = 1
+    for i in range(symcodelen - 1, -1, -1):
+        b = (sym_id >> i) & 1
+        enc.encode(("iaid", prev), b)
+        prev = (prev << 1) | b
+
+
+def _encode_generic_into(enc, bitmap, tmpl=0):
+    """Generic-region coding of one symbol bitmap into an ALREADY-OPEN
+    MQ encoder with persistent contexts (symbol dictionaries share one
+    coder across all symbols, T.88 6.5.8.1)."""
+    h, w = bitmap.shape
+    at = NOMINAL_AT[tmpl]
+    ctx_fn = {0: _ctx_t0, 2: _ctx_t2}[tmpl]
+
+    def get(x, y):
+        if x < 0 or y < 0 or x >= w or y >= h:
+            return 0
+        return int(bitmap[y, x])
+
+    for y in range(h):
+        for x in range(w):
+            enc.encode(ctx_fn(get, x, y, at), get(x, y))
+
+
+def encode_symbol_dict_seg(num, symbols, page=1, tmpl=0):
+    """Symbol dictionary segment (type 0): arithmetic, no refinement,
+    exporting every symbol.  Symbols must arrive sorted by height (the
+    spec's height-class order) so decoded IDs equal input indices."""
+    heights = [bm.shape[0] for bm in symbols]
+    assert heights == sorted(heights), "symbols must be height-sorted"
+    enc = MQEncoder()
+    by_height = {}
+    for i, bm in enumerate(symbols):
+        by_height.setdefault(bm.shape[0], []).append(bm)
+    hc = 0
+    for height in sorted(by_height):
+        _encode_int(enc, "iadh", height - hc)
+        hc = height
+        symwidth = 0
+        for bm in by_height[height]:
+            _encode_int(enc, "iadw", bm.shape[1] - symwidth)
+            symwidth = bm.shape[1]
+            _encode_generic_into(enc, bm, tmpl=tmpl)
+        _encode_int(enc, "iadw", OOB)  # end of height class
+    # Export runs: skip 0, export all (the dictionary's own order is the
+    # height-class order, which is how the decoder indexes them).
+    _encode_int(enc, "iaex", 0)
+    _encode_int(enc, "iaex", len(symbols))
+    coded = enc.flush()
+    flags = (tmpl & 3) << 10  # SDHUFF=0, SDREFAGG=0
+    data = struct.pack(">H", flags)
+    at = NOMINAL_AT[tmpl]
+    nat = 4 if tmpl == 0 else 1
+    data += bytes(b & 0xFF for b in at[: 2 * nat])
+    data += struct.pack(">II", len(symbols), len(symbols))
+    return seg(num, 0, page, data + coded)
+
+
+def _symcodelen(nsyms):
+    k = 1
+    while (1 << k) < nsyms:
+        k += 1
+    return k
+
+
+def encode_text_region_seg(num, w, h, placements, symbols, refs,
+                           ref_corner=1, page=1, x=0, y=0, ext_op=0,
+                           ds_offset=0):
+    """Immediate text region (type 6): arithmetic, strips=1, no refinement.
+
+    placements: list of (s, t, sym_id), grouped by t ascending and s
+    ascending within each t; placement bookkeeping mirrors T.88 6.4.5
+    (left/top corners advance CURS after drawing by width-1)."""
+    enc = MQEncoder()
+    symcodelen = _symcodelen(len(symbols))
+    strips = 1
+    by_t = {}
+    for s, t, sid in placements:
+        by_t.setdefault(t, []).append((s, sid))
+    _encode_int(enc, "iadt", 0)  # STRIPT init -> 0
+    stript = 0
+    firsts = 0
+    for t in sorted(by_t):
+        _encode_int(enc, "iadt", t - stript)
+        stript = t
+        first = True
+        curs = 0
+        for s, sid in sorted(by_t[t]):
+            wi = symbols[sid].shape[1]
+            if first:
+                _encode_int(enc, "iafs", s - firsts)
+                firsts = s
+                curs = s
+                first = False
+            else:
+                _encode_int(enc, "iads", s - curs - ds_offset)
+                curs = s
+            # strips == 1: no IAIT
+            _encode_iaid(enc, symcodelen, sid)
+            if ref_corner in (0, 1):  # left corners advance after drawing
+                curs += wi - 1
+        _encode_int(enc, "iads", OOB)  # end of strip
+    coded = enc.flush()
+    tflags = (ref_corner & 3) << 4 | ((ds_offset & 0x1F) << 10)
+    data = struct.pack(">IIIIB", w, h, x, y, ext_op)
+    data += struct.pack(">H", tflags)
+    data += struct.pack(">I", len(placements))
+    return seg(num, 6, page, data + coded, refs=refs)
+
+
+def _letter_symbols():
+    """Three letter-like symbols with distinct sizes and shapes, in
+    height-class (ascending height) order."""
+    c = np.zeros((8, 8), np.uint8)     # checker-ish
+    c[::2, ::2] = 1; c[1::2, 1::2] = 1
+    a = np.zeros((12, 10), np.uint8)   # box
+    a[0:2, :] = 1; a[-2:, :] = 1; a[:, 0:2] = 1; a[:, -2:] = 1
+    b = np.zeros((12, 6), np.uint8)    # vertical bar with serif
+    b[:, 2:4] = 1; b[0:2, :] = 1
+    return [c, a, b]
+
+
+def _compose_expected(w, h, placements, symbols, ref_corner=1):
+    page = np.zeros((h, w), np.uint8)
+    for s, t, sid in placements:
+        bm = symbols[sid]
+        hh, ww = bm.shape
+        x0 = s if ref_corner in (0, 1) else s - ww + 1
+        y0 = t if ref_corner in (1, 3) else t - hh + 1
+        page[y0 : y0 + hh, x0 : x0 + ww] |= bm
+    return page
+
+
+def test_symbol_text_region_roundtrip(tmp_path):
+    """Symbol dictionary + text region (the dominant scanned-PDF JBIG2
+    organization): a 'word' of three symbols placed on two lines decodes
+    pixel-exactly."""
+    syms = _letter_symbols()
+    w, h = 120, 60
+    placements = [
+        (8, 6, 0), (22, 6, 1), (32, 6, 2), (44, 6, 0),
+        (8, 30, 2), (20, 30, 1), (30, 30, 0),
+    ]
+    data = (
+        page_info_seg(0, w, h)
+        + encode_symbol_dict_seg(1, syms)
+        + encode_text_region_seg(2, w, h, placements, syms, refs=[1])
+    )
+    pdf = tmp_path / "symtext.pdf"
+    build_pdf(pdf, data, w, h)
+    _assert_matches(_render(pdf), _compose_expected(w, h, placements, syms))
+
+
+def test_symbol_dict_in_globals(tmp_path):
+    """The dictionary arrives via /JBIG2Globals (how multi-page scanned
+    PDFs share one dictionary); the page stream has only the text region."""
+    syms = _letter_symbols()
+    w, h = 96, 40
+    placements = [(10, 8, 0), (26, 8, 2), (40, 8, 1)]
+    glob = encode_symbol_dict_seg(1, syms, page=0)
+    data = page_info_seg(2, w, h) + encode_text_region_seg(
+        3, w, h, placements, syms, refs=[1]
+    )
+    pdf = tmp_path / "symglob.pdf"
+    build_pdf(pdf, data, w, h, globals_data=glob)
+    _assert_matches(_render(pdf), _compose_expected(w, h, placements, syms))
+
+
+def test_text_region_bottomleft_corner(tmp_path):
+    """REFCORNER=BOTTOMLEFT places symbols by their bottom edge."""
+    syms = _letter_symbols()
+    w, h = 80, 40
+    placements = [(6, 24, 0), (24, 24, 1), (36, 24, 2)]
+    data = (
+        page_info_seg(0, w, h)
+        + encode_symbol_dict_seg(1, syms)
+        + encode_text_region_seg(2, w, h, placements, syms, refs=[1],
+                                 ref_corner=0)
+    )
+    pdf = tmp_path / "bl.pdf"
+    build_pdf(pdf, data, w, h)
+    _assert_matches(
+        _render(pdf), _compose_expected(w, h, placements, syms, ref_corner=0)
+    )
+
+
+def test_malformed_symbol_dict_blank_not_crash(tmp_path):
+    """A truncated symbol dictionary fails gracefully -> blank page."""
+    bm = _test_bitmap()
+    h, w = bm.shape
+    data = page_info_seg(0, w, h) + seg(1, 0, 1, b"\x00" * 8)
+    pdf = tmp_path / "badsym.pdf"
+    build_pdf(pdf, data, w, h)
+    page = _render(pdf)  # must not crash
+    assert (page > 200).mean() > 0.95  # blank

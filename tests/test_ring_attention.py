@@ -28,6 +28,7 @@ def test_ring_attention_matches_dense(mesh_seq, causal):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_attention_ragged_kv_len(mesh8):
     """Per-example kv_len masks ride the ring (round 3): sharded ragged
     attention matches the reference mask, forward and reverse."""

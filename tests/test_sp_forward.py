@@ -66,6 +66,7 @@ def test_decoder_forward_seq_sharded_matches_single_chip(
     np.testing.assert_allclose(out, ref, atol=0.08, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_decoder_seq_mesh_grad_flows(decoder_and_params):
     """Reverse-mode AD through the ring (shard_map + static fori_loop):
     the SP forward is usable in the train step, not just inference."""

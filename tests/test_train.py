@@ -11,6 +11,7 @@ from vision_compression_project_tpu.train import (
     train_step,
 )
 from vision_compression_project_tpu.train.train_step import make_jitted_train_step
+import pytest
 
 
 def _batch(cfg, b=2, text_len=16, seed=0):
@@ -27,6 +28,7 @@ def _batch(cfg, b=2, text_len=16, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss_dense(mesh8):
     cfg = get_preset("tiny")
     model, tx, state, shardings = make_train_state(cfg, mesh8, lr=1e-2)
@@ -45,6 +47,7 @@ def test_train_step_reduces_loss_dense(mesh8):
     assert int(jax.device_get(state.step)) == 6
 
 
+@pytest.mark.slow
 def test_train_step_moe_ep(mesh8):
     """MoE decoder trains with experts sharded over the expert axis."""
     cfg = get_preset("tiny_moe")
@@ -62,6 +65,7 @@ def test_train_step_moe_ep(mesh8):
     assert "expert" in str(spec)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, mesh8):
     cfg = get_preset("tiny")
     model, tx, state, _ = make_train_state(cfg, mesh8)

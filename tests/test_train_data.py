@@ -9,6 +9,8 @@ from vision_compression_project_tpu.models.tokenizer import (
     SEP_ID,
     TASK_EXTRACT_ID,
 )
+import pytest
+
 from vision_compression_project_tpu.train.data import (
     device_batch,
     synthetic_batches,
@@ -48,6 +50,7 @@ def test_synthetic_batches_and_device_batch(tmp_path):
     assert dev["patch_tokens"].shape == (2, grid * grid, cfg.vision.patch ** 2 * 3)
 
 
+@pytest.mark.slow
 def test_train_on_synthetic_data_reduces_loss(mesh_dp, tmp_path):
     from vision_compression_project_tpu.train.train_step import (
         make_jitted_train_step,
