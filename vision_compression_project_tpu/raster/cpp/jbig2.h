@@ -5,19 +5,24 @@
 // (reference backend/Dockerfile:4-6); this engine is self-contained, so
 // JBIG2-compressed pages need an in-tree decoder.  Scope: the PDF
 // embedded-stream organization (T.88 Annex; no file header, explicit data
-// lengths, optional /JBIG2Globals), page info segments, and immediate
+// lengths, optional /JBIG2Globals), page info segments, immediate
 // generic region segments — MMR-coded (T.6, reusing ccitt.h, which is
 // validated against PIL's real G4 output) or arithmetic-coded (templates
 // 0-3 with AT pixels and TPGDON typical prediction, reusing the T.88 MQ
-// coder from jpx.h, which is validated against openjpeg).  Symbol
-// dictionaries / text / refinement / halftone regions are unsupported and
-// fail gracefully -> caller leaves the image blank.
+// coder from jpx.h, which is validated against openjpeg) — and the
+// dominant organization of real scanned PDFs: arithmetic symbol
+// dictionaries (6.5) + text regions (6.4) with the Annex A integer/ID
+// decoders (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT/IAID), incl. dictionaries
+// shared via /JBIG2Globals.  Huffman-coded variants, refinement and
+// halftone regions are unsupported and fail gracefully -> caller leaves
+// the image blank.
 // Validated in tests/test_raster_jbig2.py: the MMR fixture wraps PIL's own
-// G4 bitstream in JBIG2 segments; the arithmetic fixture round-trips a
-// spec-written Python MQ encoder against this decoder.
+// G4 bitstream in JBIG2 segments; the arithmetic fixtures round-trip a
+// spec-written Python T.88 encoder against this decoder.
 #pragma once
 
 #include <cstdint>
+#include <map>
 #include <string>
 #include <vector>
 
@@ -52,13 +57,22 @@ class GenericDecoder {
  public:
   bool decode(const uint8_t* data, size_t n, int tmpl, bool tpgdon,
               const int8_t* at, Bitmap* bm) {
-    if (tmpl < 0 || tmpl > 3) return false;
     mq_.init(data, n);
     cx_.assign(1 << 16, jpx::MqContext());
+    return decode_with(&mq_, &cx_, tmpl, tpgdon, at, bm);
+  }
+
+  // Shared-coder variant: symbol dictionaries decode many symbol bitmaps
+  // from ONE arithmetic bitstream with ONE persistent context set
+  // (T.88 6.5.8.1).
+  static bool decode_with(jpx::MqDecoder* mq, std::vector<jpx::MqContext>* cx,
+                          int tmpl, bool tpgdon, const int8_t* at,
+                          Bitmap* bm) {
+    if (tmpl < 0 || tmpl > 3) return false;
     int ltp = 0;
     for (int y = 0; y < bm->h; y++) {
       if (tpgdon) {
-        if (mq_.decode(&cx_[kTpgdCtx[tmpl]])) ltp ^= 1;
+        if (mq->decode(&(*cx)[kTpgdCtx[tmpl]])) ltp ^= 1;
         if (ltp) {  // typical row: copy the row above (top row -> zeros)
           for (int x = 0; x < bm->w; x++) bm->set(x, y, bm->get(x, y - 1));
           continue;
@@ -66,7 +80,7 @@ class GenericDecoder {
       }
       for (int x = 0; x < bm->w; x++) {
         int ctx = context(*bm, x, y, tmpl, at);
-        bm->set(x, y, static_cast<uint8_t>(mq_.decode(&cx_[ctx])));
+        bm->set(x, y, static_cast<uint8_t>(mq->decode(&(*cx)[ctx])));
       }
     }
     return true;
@@ -119,6 +133,58 @@ class GenericDecoder {
 };
 
 // ---------------------------------------------------------------------------
+// Arithmetic integer / symbol-ID decoding (T.88 Annex A)
+// ---------------------------------------------------------------------------
+
+// IAx procedure (A.2): one instance per statistical class (IADH, IADW,
+// IAEX, IAAI, IADT, IAFS, IADS, IAIT, ...), each with its own 512-entry
+// context tree.  Returns false on OOB.
+struct IntDecoder {
+  std::vector<jpx::MqContext> cx;
+  IntDecoder() : cx(512) {}
+
+  bool decode(jpx::MqDecoder* mq, int32_t* out) {
+    int prev = 1;
+    auto bit = [&]() {
+      int b = mq->decode(&cx[prev]);
+      prev = prev < 256 ? (prev << 1) | b : ((((prev << 1) | b) & 511) | 256);
+      return b;
+    };
+    auto bits = [&](int k) {
+      int64_t v = 0;
+      for (int i = 0; i < k; i++) v = (v << 1) | bit();
+      return v;
+    };
+    int s = bit();
+    int64_t v;
+    if (!bit()) v = bits(2);
+    else if (!bit()) v = bits(4) + 4;
+    else if (!bit()) v = bits(6) + 20;
+    else if (!bit()) v = bits(8) + 84;
+    else if (!bit()) v = bits(12) + 340;
+    else v = bits(32) + 4436;
+    if (s && v == 0) return false;  // OOB
+    *out = static_cast<int32_t>(s ? -v : v);
+    return true;
+  }
+};
+
+// IAID procedure (A.3): SBSYMCODELEN-bit symbol IDs through a context
+// tree of 2^(len+1) entries.
+struct IidDecoder {
+  int len;
+  std::vector<jpx::MqContext> cx;
+  explicit IidDecoder(int symcodelen)
+      : len(symcodelen), cx(size_t(1) << (symcodelen + 1)) {}
+
+  int decode(jpx::MqDecoder* mq) {
+    int prev = 1;
+    for (int i = 0; i < len; i++) prev = (prev << 1) | mq->decode(&cx[prev]);
+    return prev - (1 << len);
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Segment stream (PDF embedded organization, T.88 7.2 headers)
 // ---------------------------------------------------------------------------
 
@@ -150,6 +216,10 @@ struct Reader {
 struct Page {
   Bitmap bm;
   bool inited = false;
+  // Exported symbols of decoded symbol-dictionary segments, by segment
+  // number — shared between the /JBIG2Globals stream (where producers put
+  // dictionaries reused across pages) and the page's own stream.
+  std::map<uint32_t, std::vector<Bitmap>> dicts;
 };
 
 // Composite `r` onto the page at (x0, y0) with the external combination
@@ -193,7 +263,12 @@ static bool decode_segments(const uint8_t* d, size_t n, Page* pg, int page_w,
       rd.skip((count + 8) / 8);
     }
     int ref_size = seg_num <= 256 ? 1 : seg_num <= 65536 ? 2 : 4;
-    rd.skip(static_cast<size_t>(count) * ref_size);
+    std::vector<uint32_t> refs;
+    refs.reserve(count);
+    for (uint32_t i = 0; i < count; i++)
+      refs.push_back(ref_size == 1 ? rd.u8()
+                     : ref_size == 2 ? rd.u16()
+                                     : rd.u32());
     if (page_assoc_4)
       rd.u32();
     else
@@ -283,15 +358,201 @@ static bool decode_segments(const uint8_t* d, size_t n, Page* pg, int page_w,
         compose(pg, region, static_cast<int>(rx), static_cast<int>(ry), op);
         break;
       }
+      case 0: {  // symbol dictionary (T.88 6.5; arithmetic, no refinement)
+        Reader sr{seg, seg_n};
+        uint32_t sflags = sr.u16();
+        bool sdhuff = sflags & 1;
+        bool sdrefagg = sflags & 2;
+        int tmpl = (sflags >> 10) & 3;
+        if (sdhuff || sdrefagg) return false;  // unsupported organizations
+        int8_t at[8] = {0};
+        int nat = tmpl == 0 ? 4 : 1;
+        for (int i = 0; i < nat; i++) {
+          at[2 * i] = static_cast<int8_t>(sr.u8());
+          at[2 * i + 1] = static_cast<int8_t>(sr.u8());
+        }
+        uint32_t num_ex = sr.u32();
+        uint32_t num_new = sr.u32();
+        if (!sr.ok || num_new > 100000 || num_ex > 100000) return false;
+        // Input symbols: exported symbols of referred dictionaries, in
+        // referred order (T.88 6.5.8.2).
+        std::vector<Bitmap> all;
+        for (uint32_t r : refs) {
+          auto it = pg->dicts.find(r);
+          if (it != pg->dicts.end())
+            all.insert(all.end(), it->second.begin(), it->second.end());
+        }
+        jpx::MqDecoder mq;
+        mq.init(seg + sr.p, seg_n - sr.p);
+        std::vector<jpx::MqContext> gcx(1 << 16);
+        IntDecoder iadh, iadw, iaex;
+        int32_t hcheight = 0;
+        uint32_t decoded = 0;
+        while (decoded < num_new) {
+          int32_t dh;
+          if (!iadh.decode(&mq, &dh)) return false;
+          hcheight += dh;
+          int32_t symwidth = 0;
+          while (true) {
+            int32_t dw;
+            if (!iadw.decode(&mq, &dw)) break;  // OOB ends the height class
+            symwidth += dw;
+            if (decoded >= num_new || hcheight <= 0 || symwidth <= 0 ||
+                static_cast<long>(hcheight) * symwidth > 16L * 1024 * 1024)
+              return false;
+            Bitmap b;
+            b.init(symwidth, hcheight, 0);
+            if (!GenericDecoder::decode_with(&mq, &gcx, tmpl, false, at, &b))
+              return false;
+            all.push_back(std::move(b));
+            decoded++;
+          }
+        }
+        // Export flags: alternating skip/export run lengths over the
+        // input+new symbol list (T.88 6.5.10).
+        std::vector<Bitmap> exported;
+        bool exflag = false;
+        size_t i = 0;
+        while (i < all.size() && exported.size() < num_ex) {
+          int32_t run;
+          if (!iaex.decode(&mq, &run)) return false;
+          if (run < 0 || i + static_cast<size_t>(run) > all.size())
+            return false;
+          if (exflag)
+            for (int32_t k = 0; k < run; k++)
+              exported.push_back(all[i + k]);
+          i += run;
+          exflag = !exflag;
+        }
+        pg->dicts[seg_num] = std::move(exported);
+        break;
+      }
+      case 4:    // intermediate text region
+      case 6:    // immediate text region
+      case 7: {  // immediate lossless text region (T.88 6.4; arithmetic)
+        Reader tr{seg, seg_n};
+        uint32_t rw = tr.u32(), rh = tr.u32();
+        uint32_t rx = tr.u32(), ry = tr.u32();
+        int ext_op = tr.u8() & 7;
+        uint32_t tflags = tr.u16();
+        bool sbhuff = tflags & 1;
+        bool refine = tflags & 2;
+        int log_strips = (tflags >> 2) & 3;
+        int ref_corner = (tflags >> 4) & 3;  // 0 BL, 1 TL, 2 BR, 3 TR
+        bool transposed = tflags & 0x40;
+        int comb_op = (tflags >> 7) & 3;
+        int def_pixel = (tflags >> 9) & 1;
+        int ds_offset = (tflags >> 10) & 0x1F;
+        if (ds_offset > 15) ds_offset -= 32;  // signed 5-bit
+        if (sbhuff || refine) return false;  // unsupported organizations
+        uint32_t num_instances = tr.u32();
+        if (!tr.ok || rw == 0 || rh == 0 ||
+            static_cast<long>(rw) * rh > 64L * 1024 * 1024 ||
+            num_instances > 1000000)
+          return false;
+        std::vector<const Bitmap*> syms;
+        for (uint32_t r : refs) {
+          auto it = pg->dicts.find(r);
+          if (it != pg->dicts.end())
+            for (auto& b : it->second) syms.push_back(&b);
+        }
+        if (syms.empty()) return false;
+        int symcodelen = 1;
+        while ((1u << symcodelen) < syms.size()) symcodelen++;
+        int strips = 1 << log_strips;
+        jpx::MqDecoder mq;
+        mq.init(seg + tr.p, seg_n - tr.p);
+        IntDecoder iadt, iafs, iads, iait;
+        IidDecoder iaid(symcodelen);
+        Bitmap region;
+        region.init(static_cast<int>(rw), static_cast<int>(rh),
+                    static_cast<uint8_t>(def_pixel));
+        auto draw = [&](const Bitmap& s, int x0, int y0) {
+          for (int y = 0; y < s.h; y++) {
+            int py = y0 + y;
+            if (py < 0 || py >= region.h) continue;
+            for (int x = 0; x < s.w; x++) {
+              int px = x0 + x;
+              if (px < 0 || px >= region.w) continue;
+              uint8_t sv = s.get(x, y), dv = region.get(px, py), v;
+              switch (comb_op) {
+                case 0: v = dv | sv; break;
+                case 1: v = dv & sv; break;
+                case 2: v = dv ^ sv; break;
+                default: v = (dv ^ sv) ^ 1; break;
+              }
+              region.set(px, py, v);
+            }
+          }
+        };
+        int32_t dt;
+        if (!iadt.decode(&mq, &dt)) return false;
+        int32_t stript = -dt * strips;
+        int32_t firsts = 0;
+        uint32_t ninst = 0;
+        int guard = 0;
+        while (ninst < num_instances) {
+          if (++guard > 1000000) return false;
+          if (!iadt.decode(&mq, &dt)) return false;
+          stript += dt * strips;
+          bool first = true;
+          int32_t curs = 0;
+          while (ninst < num_instances) {
+            if (first) {
+              int32_t dfs;
+              if (!iafs.decode(&mq, &dfs)) return false;
+              firsts += dfs;
+              curs = firsts;
+              first = false;
+            } else {
+              int32_t ids;
+              if (!iads.decode(&mq, &ids)) break;  // OOB ends the strip
+              curs += ids + ds_offset;
+            }
+            int32_t curt = 0;
+            if (strips > 1) {
+              if (!iait.decode(&mq, &curt)) return false;
+            }
+            int32_t ti = stript + curt;
+            int id = iaid.decode(&mq);
+            if (id < 0 || id >= static_cast<int>(syms.size())) return false;
+            const Bitmap& s = *syms[id];
+            // Placement per T.88 6.4.5 3(c): right/bottom reference
+            // corners advance CURS before drawing, left/top after.
+            if (!transposed) {
+              if (ref_corner == 2 || ref_corner == 3) curs += s.w - 1;
+              int x0 = (ref_corner == 2 || ref_corner == 3)
+                           ? curs - s.w + 1 : curs;
+              int y0 = (ref_corner == 0 || ref_corner == 2)
+                           ? ti - s.h + 1 : ti;
+              draw(s, x0, y0);
+              if (ref_corner == 0 || ref_corner == 1) curs += s.w - 1;
+            } else {
+              if (ref_corner == 0 || ref_corner == 2) curs += s.h - 1;
+              int x0 = (ref_corner == 2 || ref_corner == 3)
+                           ? ti - s.w + 1 : ti;
+              int y0 = (ref_corner == 0 || ref_corner == 2)
+                           ? curs - s.h + 1 : curs;
+              draw(s, x0, y0);
+              if (ref_corner == 1 || ref_corner == 3) curs += s.h - 1;
+            }
+            ninst++;
+          }
+        }
+        if (!pg->inited) {
+          if (page_w <= 0 || page_h <= 0) return false;
+          pg->bm.init(page_w, page_h, 0);
+          pg->inited = true;
+        }
+        compose(pg, region, static_cast<int>(rx), static_cast<int>(ry),
+                ext_op);
+        break;
+      }
       case 49:  // end of page
       case 50:  // end of stripe
       case 51:  // end of file
       case 62:  // extension
         break;
-      case 0:   // symbol dictionary
-      case 4:   // intermediate text region
-      case 6:   // immediate text region
-      case 7:   // immediate lossless text region
       case 16:  // pattern dictionary
       case 20:
       case 22:
