@@ -113,7 +113,7 @@ def main():
                 rate = step * args.batch / (time.time() - t_start)
                 print(
                     f"step {step:5d}  extract {ex_v:.4f}  answer {ans_v:.4f}"
-                    f"  ex/s {rate:.1f}"
+                    f"  ex/s {rate:.1f}", flush=True,
                 )
             if args.ckpt_every and step % args.ckpt_every == 0:
                 print(f"checkpoint: {save_checkpoint(args.ckpt_dir, state)}")
