@@ -19,6 +19,34 @@ import _bootstrap  # noqa: F401
 import numpy as np
 
 
+def _extract_chunked(runner, pages, args):
+    """extract_batch in fixed-size padded chunks, one flushed progress
+    line per chunk — the eval heartbeat for staleness watchdogs.  The
+    last chunk ships padded to the compiled chunk shape and
+    collect_extract trims to the real page_numbers."""
+    import time
+
+    n = pages.shape[0]
+    chunk = max(1, min(getattr(args, "chunk", 4) or n, n))
+    records = []
+    t0 = time.time()
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = pages[lo:hi]
+        if hi - lo < chunk:  # pad to the compiled shape
+            pad = np.repeat(block[-1:], chunk - (hi - lo), axis=0)
+            block = np.concatenate([block, pad], axis=0)
+        records.extend(
+            runner.extract_batch(
+                block, page_numbers=list(range(lo + 1, hi + 1))
+            )
+        )
+        print(
+            f"eval pages {hi}/{n} ({time.time() - t0:.0f}s)", flush=True
+        )
+    return records
+
+
 def _eval_golden_png(args):
     """Score the VLM on the reference's OWN page rasters: real document
     pixels (nothing synthetic anywhere in the loop), ground truth = the
@@ -56,9 +84,7 @@ def _eval_golden_png(args):
     runner = load_runner(
         get_preset(args.preset), args.ckpt_dir, max_new_default=args.max_new
     )
-    records = runner.extract_batch(
-        batch, page_numbers=list(range(1, len(imgs) + 1))
-    )
+    records = _extract_chunked(runner, batch, args)
     sims = [
         difflib.SequenceMatcher(None, g, r["markdown"]).ratio()
         for g, r in zip(golds, records)
@@ -107,6 +133,12 @@ def main():
         "--vocab_cap", type=int, default=0,
         help="jumble word-inventory cap; must match the training cap so "
         "the stage gate measures reading on the same inventory",
+    )
+    parser.add_argument(
+        "--chunk", type=int, default=4,
+        help="device sub-batch size; each chunk prints a flushed progress "
+        "line so supervisor staleness watchdogs see a heartbeat instead "
+        "of one silent multi-minute batch (ADVICE r4)",
     )
     parser.add_argument("--json_out", default=None)
     args = parser.parse_args()
@@ -170,9 +202,7 @@ def main():
     runner = load_runner(
         get_preset(args.preset), args.ckpt_dir, max_new_default=args.max_new
     )
-    records = runner.extract_batch(
-        pages, page_numbers=list(range(1, args.pages + 1))
-    )
+    records = _extract_chunked(runner, pages, args)
 
     def sim(a: str, b: str) -> float:
         return difflib.SequenceMatcher(None, a, b).ratio()

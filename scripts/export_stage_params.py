@@ -32,23 +32,29 @@ def main() -> int:
     if not state_file.exists():
         print("no curriculum state; nothing to export")
         return 0
+    from vision_compression_project_tpu.train.checkpoint import complete_steps
+
     state = json.loads(state_file.read_text())
     src = state.get("init_from")
-    # Prefer the newest stage dir that actually holds checkpoints: after a
-    # mid-stage crash the stage's own partial checkpoint is newer than the
-    # last completed run recorded in init_from.
-    candidates = [p for p in curr.glob("*_e*") if sorted(p.glob("step_*"))]
+    # Prefer the newest stage dir that actually holds COMPLETE checkpoints
+    # (complete_steps skips SIGKILL-interrupted *.orbax-checkpoint-tmp-*
+    # partials — ADVICE r4): after a mid-stage crash the stage's own
+    # partial checkpoint is newer than the last completed run recorded in
+    # init_from.
+    candidates = [p for p in curr.glob("*_e*") if complete_steps(p, "step")]
     if candidates:
         newest = max(
             candidates,
-            key=lambda p: max(q.stat().st_mtime for q in p.glob("step_*")),
+            key=lambda p: max(
+                q.stat().st_mtime for q in complete_steps(p, "step")
+            ),
         )
         src = str(newest)
     if not src or not Path(src).exists():
         print(f"resume point missing: {src}")
         return 0
     src = Path(src)
-    steps = sorted(src.glob("step_*"))
+    steps = complete_steps(src, "step")
     tag = src.name
     step_n = int(steps[-1].name.split("_")[1]) if steps else 0
 

@@ -178,36 +178,66 @@ def main():
         # start from its own newest step instead of the stage's original
         # init — a killed run costs at most --ckpt_every steps of progress,
         # not the whole stage (round-3 incident: docs/ROUND3_STATUS.md).
+        # A train.done marker means the stage's TRAINING completed and only
+        # the eval was interrupted: skip straight to eval, so a watchdog
+        # kill during a long eval cannot re-burn the stage's full training
+        # (ADVICE r4).  complete_steps ignores SIGKILL-orphaned
+        # *.orbax-checkpoint-tmp-* partials.
+        from vision_compression_project_tpu.train.checkpoint import (
+            complete_steps,
+        )
+
+        train_done = ckpt_dir / "train.done"
         init_from = state["init_from"]
-        if ckpt_dir.exists() and sorted(ckpt_dir.glob("step_*")):
+        if ckpt_dir.exists() and complete_steps(ckpt_dir, "step"):
             init_from = str(ckpt_dir)
             print(f"stage {stage['name']}_e{ext}: warm-starting from its "
                   "own partial checkpoint")
-        cmd = [
-            "scripts/train_vlm.py", "--preset", args.preset,
-            "--data", stage.get("kind", "real"),
-            "--jumble_frac", stage.get("jumble_frac", 0.0),
-            "--steps", steps, "--batch", args.batch,
-            "--lr", stage["lr"], "--font_size", stage["font_size"],
-            "--lines", stage["lines"], "--dpi", stage["dpi"],
-            "--fonts", stage.get("fonts", "builtin"),
-            "--vocab_cap", stage.get("vocab_cap", 0),
-            "--text_len", stage["text_len"],
-            "--seed", args.seed + state["stage"] * 101 + ext,
-            "--ckpt_dir", ckpt_dir, "--ckpt_every", 500,
-            "--log_every", 50,
-        ]
-        if init_from:
-            cmd += ["--init_from", init_from]
-        rc = _run(cmd, out_root / f"{stage['name']}_e{ext}.log", args.dry_run)
-        if rc != 0:
-            state["status"] = f"train_failed:{stage['name']}_e{ext}"
-            save()
-            print("TRAIN FAILED", stage["name"], "rc", rc)
-            return
+        if train_done.exists():
+            print(f"stage {stage['name']}_e{ext}: training already "
+                  "complete; re-running eval only")
+        else:
+            cmd = [
+                "scripts/train_vlm.py", "--preset", args.preset,
+                "--data", stage.get("kind", "real"),
+                "--jumble_frac", stage.get("jumble_frac", 0.0),
+                "--steps", steps, "--batch", args.batch,
+                "--lr", stage["lr"], "--font_size", stage["font_size"],
+                "--lines", stage["lines"], "--dpi", stage["dpi"],
+                "--fonts", stage.get("fonts", "builtin"),
+                "--vocab_cap", stage.get("vocab_cap", 0),
+                "--text_len", stage["text_len"],
+                "--seed", args.seed + state["stage"] * 101 + ext,
+                "--ckpt_dir", ckpt_dir, "--ckpt_every", 500,
+                "--log_every", 50,
+            ]
+            if init_from:
+                cmd += ["--init_from", init_from]
+            rc = _run(
+                cmd, out_root / f"{stage['name']}_e{ext}.log", args.dry_run
+            )
+            if rc != 0:
+                state["status"] = f"train_failed:{stage['name']}_e{ext}"
+                save()
+                print("TRAIN FAILED", stage["name"], "rc", rc)
+                return
+            if not args.dry_run:
+                ckpt_dir.mkdir(parents=True, exist_ok=True)
+                train_done.touch()
+            save()  # persist progress BEFORE the (killable) eval
         sim = _eval_similarity(
             args.preset, str(ckpt_dir), stage, args.eval_pages, args.dry_run
         )
+        if sim < 0:
+            # Eval INFRASTRUCTURE failure (crash/kill/missing JSON), not
+            # low quality: exit so the supervisor relaunches; train.done
+            # routes the relaunch straight back to this eval instead of
+            # re-burning the stage's training (ADVICE r4).
+            state["status"] = f"eval_failed:{stage['name']}_e{ext}"
+            save()
+            print("EVAL FAILED", stage["name"], "- supervisor should retry")
+            return
+        state.pop("status", None)  # clear a previous eval_failed marker
         state["history"].append(
             {"stage": stage["name"], "ext": ext, "similarity": sim,
              "ckpt": str(ckpt_dir)}

@@ -11,12 +11,29 @@ import sys
 
 
 def main() -> int:
+    import os
+
+    if os.environ.get("VCP_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["VCP_PLATFORM"])
+
     import jax
     import jax.numpy as jnp
 
+    devs = jax.devices()
+    # A CPU/GPU fallback must NOT pass: a pilot whose probe silently fell
+    # back to CPU would launch a full training run on the 1-core host and
+    # make steady (glacial) log progress the watchdog never flags
+    # (ADVICE r4).  VCP_PROBE_ALLOW_CPU=1 opts out for hardware-free tests.
+    if not os.environ.get("VCP_PROBE_ALLOW_CPU") and any(
+        d.platform in ("cpu", "gpu") for d in devs
+    ):
+        print(f"probe FAIL: non-TPU backend {devs}", flush=True)
+        return 1
     x = jnp.ones((256, 256))
     v = float((x @ x).sum())
-    print(f"tpu ok: {jax.devices()} sum={v}", flush=True)
+    print(f"tpu ok: {devs} sum={v}", flush=True)
     return 0
 
 

@@ -8,11 +8,31 @@ via Orbax and are restored into VLMRunner / NeuralEmbedder pytrees.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Any, Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+
+def complete_steps(ckpt_dir, prefix: str = "step") -> list[Path]:
+    """COMPLETE `<prefix>_NNN` checkpoint dirs, sorted by step.
+
+    A SIGKILLed save (the pilot watchdog kills training groups mid-write)
+    leaves `<prefix>_NNN.orbax-checkpoint-tmp-<ts>` partials; a bare
+    `glob("step_*")` matches those, so int(...) parsing raised and resume
+    could target an unrestorable dir (ADVICE r4).  Only exact
+    `<prefix>_<digits>` names count.
+    """
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return []
+    pat = re.compile(rf"{prefix}_\d+")
+    return sorted(
+        p for p in ckpt_dir.iterdir()
+        if p.is_dir() and pat.fullmatch(p.name)
+    )
 
 
 def save_checkpoint(ckpt_dir, state: Any, step: Optional[int] = None) -> Path:
@@ -33,7 +53,7 @@ def latest_checkpoint(ckpt_dir) -> Optional[Path]:
     ckpt_dir = Path(ckpt_dir).resolve()
     if not ckpt_dir.exists():
         return None
-    steps = sorted(p for p in ckpt_dir.glob("step_*") if p.is_dir())
+    steps = complete_steps(ckpt_dir, "step")
     return steps[-1] if steps else None
 
 
@@ -63,7 +83,7 @@ def latest_params(ckpt_dir) -> Optional[Path]:
     ckpt_dir = Path(ckpt_dir).resolve()
     if not ckpt_dir.exists():
         return None
-    steps = sorted(p for p in ckpt_dir.glob("params_*") if p.is_dir())
+    steps = complete_steps(ckpt_dir, "params")
     return steps[-1] if steps else None
 
 
