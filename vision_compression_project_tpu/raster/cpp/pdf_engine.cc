@@ -658,6 +658,23 @@ struct FormXObject {
   std::shared_ptr<PageData> sub;  // content + the form's OWN resources
 };
 
+// Pattern resource (ISO 32000 8.7.3): a tiling cell content stream
+// (PatternType 1 — hatches from matplotlib/Office) or a shading fill
+// (PatternType 2).  The reference renders these through Poppler
+// (reference backend/app/pipeline/pdf_extract.py:107-122); here tiling
+// cells are rasterized once via the ordinary page renderer (white + black
+// backgrounds, recovering per-pixel alpha) and stamped at XStep/YStep.
+struct PatternDef {
+  int type = 0;        // 1 tiling, 2 shading
+  int paint_type = 1;  // tiling: 1 colored, 2 uncolored (current color)
+  double bbox[4] = {0, 0, 1, 1};
+  double xstep = 1, ystep = 1;
+  double matrix[6] = {1, 0, 0, 1, 0, 0};  // pattern space -> page space
+  std::shared_ptr<PageData> cell;         // tiling cell content+resources
+  ShadingDef shading;                     // type 2
+  bool ok = false;
+};
+
 struct PageData {
   double width_pts = 612, height_pts = 792;
   std::string content;                       // decoded content stream
@@ -676,6 +693,7 @@ struct PageData {
     FuncDef tint;
   };
   std::map<std::string, ColorSpaceDef> colorspaces;
+  std::map<std::string, PatternDef> patterns;
 };
 
 class Document {
@@ -1048,6 +1066,7 @@ class Document {
       load_shadings(resolve(resources), &pd);
       load_extgstate(resolve(resources), &pd);
       load_colorspaces(resolve(resources), &pd);
+      load_patterns(resolve(resources), &pd);
       pages_.push_back(std::move(pd));
       return;
     }
@@ -1700,47 +1719,108 @@ class Document {
     }
   }
 
+  bool parse_shading_def(const ObjPtr& sd, ShadingDef* def) {
+    if (!sd->is(Obj::kDict) && !sd->is(Obj::kStream)) return false;
+    def->type = static_cast<int>(resolve(get(sd, "ShadingType"))->as_num(0));
+    if (def->type != 2 && def->type != 3) return false;
+    ObjPtr coords = resolve(get(sd, "Coords"));
+    if (!coords->is(Obj::kArray)) return false;
+    for (size_t i = 0; i < coords->arr.size() && i < 6; i++)
+      def->coords[i] = resolve(coords->arr[i])->as_num(0);
+    ObjPtr dom = resolve(get(sd, "Domain"));
+    if (dom->is(Obj::kArray) && dom->arr.size() >= 2) {
+      def->domain[0] = resolve(dom->arr[0])->as_num(0);
+      def->domain[1] = resolve(dom->arr[1])->as_num(1);
+    }
+    ObjPtr ext = resolve(get(sd, "Extend"));
+    if (ext->is(Obj::kArray) && ext->arr.size() >= 2) {
+      ObjPtr e0 = resolve(ext->arr[0]), e1 = resolve(ext->arr[1]);
+      def->extend0 = e0->is(Obj::kBool) && e0->bval;
+      def->extend1 = e1->is(Obj::kBool) && e1->bval;
+    }
+    ObjPtr fn = resolve(get(sd, "Function"));
+    bool fok = true;
+    if (fn->is(Obj::kArray)) {
+      for (auto& f : fn->arr) {
+        FuncDef sub;
+        fok = fok && parse_function(f, &sub);
+        if (fok) def->fns.push_back(std::move(sub));
+      }
+    } else {
+      FuncDef one;
+      fok = parse_function(fn, &one);
+      if (fok) def->fns.push_back(std::move(one));
+    }
+    if (!fok || def->fns.empty()) return false;
+    def->ok = true;
+    return true;
+  }
+
   void load_shadings(const ObjPtr& resources, PageData* pd) {
     if (!resources->is(Obj::kDict)) return;
     ObjPtr shs = resolve(get(resources, "Shading"));
     if (!shs->is(Obj::kDict)) return;
     for (auto& [name, sref] : shs->dict) {
-      ObjPtr sd = resolve(sref);
-      if (!sd->is(Obj::kDict) && !sd->is(Obj::kStream)) continue;
       ShadingDef def;
-      def.type = static_cast<int>(resolve(get(sd, "ShadingType"))->as_num(0));
-      if (def.type != 2 && def.type != 3) continue;
-      ObjPtr coords = resolve(get(sd, "Coords"));
-      if (!coords->is(Obj::kArray)) continue;
-      for (size_t i = 0; i < coords->arr.size() && i < 6; i++)
-        def.coords[i] = resolve(coords->arr[i])->as_num(0);
-      ObjPtr dom = resolve(get(sd, "Domain"));
-      if (dom->is(Obj::kArray) && dom->arr.size() >= 2) {
-        def.domain[0] = resolve(dom->arr[0])->as_num(0);
-        def.domain[1] = resolve(dom->arr[1])->as_num(1);
-      }
-      ObjPtr ext = resolve(get(sd, "Extend"));
-      if (ext->is(Obj::kArray) && ext->arr.size() >= 2) {
-        ObjPtr e0 = resolve(ext->arr[0]), e1 = resolve(ext->arr[1]);
-        def.extend0 = e0->is(Obj::kBool) && e0->bval;
-        def.extend1 = e1->is(Obj::kBool) && e1->bval;
-      }
-      ObjPtr fn = resolve(get(sd, "Function"));
-      bool fok = true;
-      if (fn->is(Obj::kArray)) {
-        for (auto& f : fn->arr) {
-          FuncDef sub;
-          fok = fok && parse_function(f, &sub);
-          if (fok) def.fns.push_back(std::move(sub));
-        }
+      if (parse_shading_def(resolve(sref), &def))
+        pd->shadings[name] = std::move(def);
+    }
+  }
+
+  // /Pattern resources: tiling cells (PatternType 1) become their own
+  // mini PageData (content pre-translated so the BBox origin is 0,0 —
+  // the cell renders through the ordinary page rasterizer); shading
+  // patterns (PatternType 2) reuse the shading machinery.  Cells may
+  // reference further patterns one level deep (depth guard: a cell's
+  // cell renders with patterns ignored).
+  void load_patterns(const ObjPtr& resources, PageData* pd, int depth = 0) {
+    if (!resources->is(Obj::kDict)) return;
+    ObjPtr pats = resolve(get(resources, "Pattern"));
+    if (!pats->is(Obj::kDict)) return;
+    for (auto& [name, pref] : pats->dict) {
+      ObjPtr p = resolve(pref);
+      if (!p->is(Obj::kDict) && !p->is(Obj::kStream)) continue;
+      PatternDef def;
+      def.type = static_cast<int>(resolve(get(p, "PatternType"))->as_num(0));
+      ObjPtr m = resolve(get(p, "Matrix"));
+      if (m->is(Obj::kArray) && m->arr.size() >= 6)
+        for (int i = 0; i < 6; i++)
+          def.matrix[i] = resolve(m->arr[i])->as_num(i % 3 == 0 ? 1 : 0);
+      if (def.type == 2) {
+        if (!parse_shading_def(resolve(get(p, "Shading")), &def.shading))
+          continue;
+        def.ok = true;
+      } else if (def.type == 1 && p->is(Obj::kStream) && depth < 2) {
+        def.paint_type =
+            static_cast<int>(resolve(get(p, "PaintType"))->as_num(1));
+        ObjPtr bb = resolve(get(p, "BBox"));
+        if (!bb->is(Obj::kArray) || bb->arr.size() < 4) continue;
+        for (int i = 0; i < 4; i++)
+          def.bbox[i] = resolve(bb->arr[i])->as_num(0);
+        double bw = def.bbox[2] - def.bbox[0];
+        double bh = def.bbox[3] - def.bbox[1];
+        if (bw < 1e-6 || bh < 1e-6) continue;
+        def.xstep = resolve(get(p, "XStep"))->as_num(bw);
+        def.ystep = resolve(get(p, "YStep"))->as_num(bh);
+        def.cell = std::make_shared<PageData>();
+        def.cell->width_pts = bw;
+        def.cell->height_pts = bh;
+        char tr[64];
+        snprintf(tr, sizeof(tr), "1 0 0 1 %g %g cm\n", -def.bbox[0],
+                 -def.bbox[1]);
+        def.cell->content = std::string(tr) + decode_stream(p);
+        ObjPtr cres = resolve(get(p, "Resources"));
+        load_fonts(cres, def.cell.get());
+        load_xobjects(cres, def.cell.get());
+        load_shadings(cres, def.cell.get());
+        load_extgstate(cres, def.cell.get());
+        load_colorspaces(cres, def.cell.get());
+        load_patterns(cres, def.cell.get(), depth + 1);
+        def.ok = true;
       } else {
-        FuncDef one;
-        fok = parse_function(fn, &one);
-        if (fok) def.fns.push_back(std::move(one));
+        continue;
       }
-      if (!fok || def.fns.empty()) continue;
-      def.ok = true;
-      pd->shadings[name] = std::move(def);
+      pd->patterns[name] = std::move(def);
     }
   }
 
@@ -1772,6 +1852,7 @@ class Document {
         load_shadings(fres, form.sub.get());
         load_extgstate(fres, form.sub.get());
         load_colorspaces(fres, form.sub.get());
+        load_patterns(fres, form.sub.get(), depth + 1);
         if (!form.sub->content.empty()) pd->forms[name] = std::move(form);
       }
     }
@@ -1932,8 +2013,9 @@ struct Mat {
 
 struct Rect {
   double x, y, w, h;   // device space (pts, PDF origin bottom-left)
-  double gray;         // 0 = black fill
+  double gray;         // 0 = black fill (glyph-transport export keeps this)
   int seq = 0;         // content order (paint passes must respect it)
+  double rgb[3] = {-1, -1, -1};  // fill color; negative = use gray
 };
 
 struct ImagePlacement {
@@ -1953,6 +2035,11 @@ struct FillPath {
   double alpha = 1.0;     // ExtGState ca/CA constant alpha
   bool evenodd = false;
   int seq = 0;
+  // Pattern paint source: when set, the rasterizer samples this image
+  // (with its alpha) over pat_rect (user-space pts, axis-aligned) instead
+  // of the constant rgb — path geometry still clips the fill exactly.
+  std::shared_ptr<ImageXObject> pattern;
+  double pat_rect[4] = {0, 0, 1, 1};  // x, y, w, h
 };
 
 struct InterpResult {
@@ -1963,6 +2050,12 @@ struct InterpResult {
   // Synthesized rasters (sampled shadings) the placements point into.
   std::vector<std::shared_ptr<ImageXObject>> owned;
 };
+
+// Full page rasterizer (defined below ContentInterp); pattern cells
+// reuse it to rasterize one tile, with a selectable background so two
+// renders (white + black) recover per-pixel alpha.
+static void render_page(const PageData& page, double dpi, unsigned char* out,
+                        int W, int H, uint8_t bg);
 
 // Sample an axial/radial shading over a user-space rect into a small RGB
 // raster (drawn through the ordinary image path).  Shading coords are in
@@ -2039,6 +2132,100 @@ static std::shared_ptr<ImageXObject> shading_image(
   return img;
 }
 
+// Rasterize a pattern fill covering the user-space rect [rx,ry]..[+rw,+rh]
+// into an RGBA image (alpha in ImageXObject::alpha).  Tiling cells render
+// ONCE on white and once on black; the on-background composite
+// C*a + bg*(1-a) then recovers a = 1 - (W-B)/255 and C = B/a per pixel,
+// so the background shows through the cell's unpainted gaps (hatch
+// patterns).  Cells are stamped at XStep/YStep in pattern space; the
+// pattern matrix maps pattern space to page space.  PaintType 2
+// (uncolored) keeps the cell's coverage but paints the CURRENT fill
+// color, per spec.
+static std::shared_ptr<ImageXObject> pattern_image(
+    const PatternDef& pat, double rx, double ry, double rw, double rh,
+    const double fill_rgb[3]) {
+  Mat pm;
+  pm.a = pat.matrix[0]; pm.b = pat.matrix[1];
+  pm.c = pat.matrix[2]; pm.d = pat.matrix[3];
+  pm.e = pat.matrix[4]; pm.f = pat.matrix[5];
+  if (pat.type == 2) return shading_image(pat.shading, pm, rx, ry, rw, rh);
+  if (!pat.cell) return nullptr;
+  const PageData& cpd = *pat.cell;
+  double cw_pts = cpd.width_pts, ch_pts = cpd.height_pts;
+  if (cw_pts < 1e-6 || ch_pts < 1e-6) return nullptr;
+  // Cell raster at ~2 px/pt, clamped.
+  int cw = std::max(1, std::min(512, static_cast<int>(cw_pts * 2 + 0.5)));
+  int ch = std::max(1, std::min(512, static_cast<int>(ch_pts * 2 + 0.5)));
+  double cell_dpi = 72.0 * cw / cw_pts;
+  std::vector<unsigned char> wbuf(static_cast<size_t>(cw) * ch * 3);
+  std::vector<unsigned char> bbuf(wbuf.size());
+  render_page(cpd, cell_dpi, wbuf.data(), cw, ch, 0xff);
+  render_page(cpd, cell_dpi, bbuf.data(), cw, ch, 0x00);
+  std::vector<unsigned char> crgb(wbuf.size());
+  std::vector<unsigned char> calpha(static_cast<size_t>(cw) * ch);
+  for (size_t i = 0; i < calpha.size(); i++) {
+    int amax = 0;
+    int ac[3];
+    for (int c = 0; c < 3; c++) {
+      int wv = wbuf[i * 3 + c], bv = bbuf[i * 3 + c];
+      ac[c] = 255 - std::max(0, wv - bv);
+      amax = std::max(amax, ac[c]);
+    }
+    calpha[i] = static_cast<unsigned char>(amax);
+    for (int c = 0; c < 3; c++) {
+      int col = amax > 0 ? bbuf[i * 3 + c] * 255 / amax : 0;
+      crgb[i * 3 + c] =
+          static_cast<unsigned char>(std::min(255, std::max(0, col)));
+    }
+  }
+  // Output raster over the user-space rect.
+  int ow = std::max(1, std::min(1024, static_cast<int>(rw * 2 + 0.5)));
+  int oh = std::max(1, std::min(1024, static_cast<int>(rh * 2 + 0.5)));
+  auto img = std::make_shared<ImageXObject>();
+  img->w = ow;
+  img->h = oh;
+  img->comps = 3;
+  img->px.assign(static_cast<size_t>(ow) * oh * 3, 255);
+  img->alpha.assign(static_cast<size_t>(ow) * oh, 0);
+  img->aw = ow;
+  img->ah = oh;
+  // Inverse pattern matrix: page space -> pattern space.
+  double det = pm.a * pm.d - pm.b * pm.c;
+  if (fabs(det) < 1e-12) return nullptr;
+  double ia = pm.d / det, ic = -pm.c / det;
+  double ib = -pm.b / det, id = pm.a / det;
+  double xstep = pat.xstep > 1e-6 ? pat.xstep : cw_pts;
+  double ystep = pat.ystep > 1e-6 ? pat.ystep : ch_pts;
+  auto wrap = [](double v, double m) {
+    double r = fmod(v, m);
+    return r < 0 ? r + m : r;
+  };
+  for (int oy = 0; oy < oh; oy++) {
+    double uy = ry + rh * (1.0 - (oy + 0.5) / oh);  // row 0 = top = max y
+    for (int ox = 0; ox < ow; ox++) {
+      double ux = rx + rw * (ox + 0.5) / ow;
+      double dx = ux - pm.e, dy = uy - pm.f;
+      double px = ia * dx + ic * dy;  // pattern space
+      double py = ib * dx + id * dy;
+      double u = wrap(px - pat.bbox[0], xstep);
+      double v = wrap(py - pat.bbox[1], ystep);
+      if (u >= cw_pts || v >= ch_pts) continue;  // gap between tiles
+      int sx = std::min(cw - 1, static_cast<int>(u / cw_pts * cw));
+      int sy = std::min(ch - 1, static_cast<int>((1.0 - v / ch_pts) * ch));
+      size_t si = static_cast<size_t>(sy) * cw + sx;
+      size_t di = static_cast<size_t>(oy) * ow + ox;
+      img->alpha[di] = calpha[si];
+      for (int c = 0; c < 3; c++)
+        img->px[di * 3 + c] =
+            pat.paint_type == 2
+                ? static_cast<unsigned char>(
+                      std::max(0.0, std::min(1.0, fill_rgb[c])) * 255)
+                : crgb[si * 3 + c];
+    }
+  }
+  return img;
+}
+
 class ContentInterp {
  public:
   static InterpResult run(const PageData& page) {
@@ -2058,6 +2245,9 @@ class ContentInterp {
     double tz = 100;  // horizontal scale percent
     double gray = 0;
     double fill_rgb[3] = {0, 0, 0}, stroke_rgb[3] = {0, 0, 0};
+    // Active pattern fill (scn /Name with a /Pattern colorspace); cleared
+    // by any numeric color operator.
+    std::string fill_pattern, stroke_pattern;
     double fill_alpha = 1.0, stroke_alpha = 1.0;
     // Active color spaces for sc/scn operands (default DeviceGray per
     // spec; producers set cs before sc).
@@ -2208,6 +2398,29 @@ class ContentInterp {
           dev.emplace_back(px * ctm.a + py * ctm.c + ctm.e,
                            px * ctm.b + py * ctm.d + ctm.f);
         fp.subpaths.push_back(std::move(dev));
+      }
+      if (!fill_pattern.empty() && !fp.subpaths.empty()) {
+        auto pit = page.patterns.find(fill_pattern);
+        if (pit != page.patterns.end() && pit->second.ok) {
+          double bx0 = 1e18, by0 = 1e18, bx1 = -1e18, by1 = -1e18;
+          for (auto& sp : fp.subpaths)
+            for (auto& [ux, uy] : sp) {
+              bx0 = std::min(bx0, ux); bx1 = std::max(bx1, ux);
+              by0 = std::min(by0, uy); by1 = std::max(by1, uy);
+            }
+          bx0 = std::max(bx0, clip[0]); by0 = std::max(by0, clip[1]);
+          bx1 = std::min(bx1, clip[2]); by1 = std::min(by1, clip[3]);
+          if (bx1 > bx0 && by1 > by0) {
+            auto img = pattern_image(pit->second, bx0, by0, bx1 - bx0,
+                                     by1 - by0, fill_rgb);
+            if (img) {
+              res.owned.push_back(img);
+              fp.pattern = img;
+              fp.pat_rect[0] = bx0; fp.pat_rect[1] = by0;
+              fp.pat_rect[2] = bx1 - bx0; fp.pat_rect[3] = by1 - by0;
+            }
+          }
+        }
       }
       if (!fp.subpaths.empty()) {
         fp.seq = seq++;
@@ -2417,6 +2630,16 @@ class ContentInterp {
           clip[3] = std::min(clip[3], by1);
           wflag = false;
         }
+        if (!fill_pattern.empty() && page.patterns.count(fill_pattern)) {
+          // Pattern-filled rects need per-pixel sampling; route them
+          // through the path pipeline instead of the flat Rect one.
+          for (auto& r : pending_rects_)
+            cur_path.push_back({{r.x, r.y},
+                                {r.x + r.w, r.y},
+                                {r.x + r.w, r.y + r.h},
+                                {r.x, r.y + r.h}});
+          pending_rects_.clear();
+        }
         bool also_stroke = op == "b" || op == "B";
         if (also_stroke && op == "b" && !cur_path.empty())
           path_lineto(startx, starty);  // b closes before fill+stroke
@@ -2433,9 +2656,10 @@ class ContentInterp {
           double y0 = r.x * ctm.b + r.y * ctm.d + ctm.f;
           double x1 = (r.x + r.w) * ctm.a + (r.y + r.h) * ctm.c + ctm.e;
           double y1 = (r.x + r.w) * ctm.b + (r.y + r.h) * ctm.d + ctm.f;
-          res.rects.push_back({std::min(x0, x1), std::min(y0, y1),
-                               fabs(x1 - x0), fabs(y1 - y0), r.gray,
-                               seq++});
+          Rect out_r{std::min(x0, x1), std::min(y0, y1), fabs(x1 - x0),
+                     fabs(y1 - y0), r.gray, seq++};
+          for (int c = 0; c < 3; c++) out_r.rgb[c] = fill_rgb[c];
+          res.rects.push_back(out_r);
         }
         pending_rects_.clear();
       } else if (op == "W" || op == "W*") {
@@ -2493,23 +2717,43 @@ class ContentInterp {
       } else if (op == "sc" || op == "scn" || op == "SC" || op == "SCN") {
         bool is_fill = op[0] == 's';
         const PageData::ColorSpaceDef& csd = is_fill ? fill_cs : stroke_cs;
-        // Operand count follows the space; a trailing pattern NAME (scn
-        // with /Pattern) leaves no numerics — keep the previous color.
-        std::vector<double> vals;
-        auto a = popn(csd.ncomp);
-        bool numeric = false;
-        for (auto& v : a)
-          if (v->is(Obj::kNum)) {
-            vals.push_back(v->num);
-            numeric = true;
+        std::string& patname = is_fill ? fill_pattern : stroke_pattern;
+        if (!stack.empty() && stack.back()->is(Obj::kName)) {
+          // /Pattern colorspace: `[comps...] /Name scn` selects a pattern;
+          // leading numerics (uncolored PaintType-2 patterns) set the
+          // underlying color the cell coverage is painted with.
+          patname = stack.back()->str;
+          std::vector<double> vals;
+          for (auto& v : stack)
+            if (v->is(Obj::kNum)) vals.push_back(v->num);
+          if (!vals.empty()) {
+            double* t = is_fill ? fill_rgb : stroke_rgb;
+            PageData::ColorSpaceDef plain;
+            plain.ncomp = static_cast<int>(vals.size());
+            plain.alt_ncomp = plain.ncomp;
+            apply_components(plain, vals, t);
+            if (is_fill)
+              gray = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2];
           }
-        if (numeric) {
-          double* t = is_fill ? fill_rgb : stroke_rgb;
-          apply_components(csd, vals, t);
-          if (is_fill)
-            gray = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2];
+          stack.clear();
+        } else {
+          std::vector<double> vals;
+          auto a = popn(csd.ncomp);
+          bool numeric = false;
+          for (auto& v : a)
+            if (v->is(Obj::kNum)) {
+              vals.push_back(v->num);
+              numeric = true;
+            }
+          if (numeric) {
+            patname.clear();
+            double* t = is_fill ? fill_rgb : stroke_rgb;
+            apply_components(csd, vals, t);
+            if (is_fill)
+              gray = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2];
+          }
+          stack.clear();
         }
-        stack.clear();
       } else if (op == "gs") {
         auto a = popn(1);
         auto it = page.ext_alpha.find(a[0]->str);
@@ -2578,6 +2822,25 @@ class ContentInterp {
                   txf(pt.first, pt.second, &ox, &oy);
                   pt = {ox, oy};
                 }
+              if (fp.pattern) {
+                // Axis-aligned bbox of the transformed pattern rect (the
+                // raster itself is not re-tiled under rotation — the
+                // common translate/scale form placement is exact).
+                double cx0 = fp.pat_rect[0], cy0 = fp.pat_rect[1];
+                double cx1 = cx0 + fp.pat_rect[2];
+                double cy1 = cy0 + fp.pat_rect[3];
+                const double pxs[4] = {cx0, cx1, cx0, cx1};
+                const double pys[4] = {cy0, cy0, cy1, cy1};
+                double nx0 = 1e18, ny0 = 1e18, nx1 = -1e18, ny1 = -1e18;
+                for (int k = 0; k < 4; k++) {
+                  double ox, oy;
+                  txf(pxs[k], pys[k], &ox, &oy);
+                  nx0 = std::min(nx0, ox); nx1 = std::max(nx1, ox);
+                  ny0 = std::min(ny0, oy); ny1 = std::max(ny1, oy);
+                }
+                fp.pat_rect[0] = nx0; fp.pat_rect[1] = ny0;
+                fp.pat_rect[2] = nx1 - nx0; fp.pat_rect[3] = ny1 - ny0;
+              }
               fp.seq = seq++;
               res.paths.push_back(std::move(fp));
             } else {
@@ -2585,9 +2848,10 @@ class ContentInterp {
               double x0, y0, x1, y1;
               txf(r.x, r.y, &x0, &y0);
               txf(r.x + r.w, r.y + r.h, &x1, &y1);
-              res.rects.push_back({std::min(x0, x1), std::min(y0, y1),
-                                   fabs(x1 - x0), fabs(y1 - y0), r.gray,
-                                   seq++});
+              Rect out_r{std::min(x0, x1), std::min(y0, y1),
+                         fabs(x1 - x0), fabs(y1 - y0), r.gray, seq++};
+              for (int c = 0; c < 3; c++) out_r.rgb[c] = r.rgb[c];
+              res.rects.push_back(out_r);
             }
           }
           for (auto& prun : sub.runs) {
@@ -2708,11 +2972,13 @@ class ContentInterp {
         double v = popn(1)[0]->as_num(0);
         double* t = op == "g" ? fill_rgb : stroke_rgb;
         t[0] = t[1] = t[2] = v;
+        (op == "g" ? fill_pattern : stroke_pattern).clear();
         if (op == "g") gray = v;
       } else if (op == "rg" || op == "RG") {
         auto a = popn(3);
         double* t = op == "rg" ? fill_rgb : stroke_rgb;
         for (int c = 0; c < 3; c++) t[c] = a[c]->as_num();
+        (op == "rg" ? fill_pattern : stroke_pattern).clear();
         if (op == "rg")
           gray = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2];
       } else if (op == "k" || op == "K") {
@@ -2722,6 +2988,7 @@ class ContentInterp {
           double v = 1.0 - a[c]->as_num() - a[3]->as_num();
           t[c] = v < 0 ? 0 : v;
         }
+        (op == "k" ? fill_pattern : stroke_pattern).clear();
         if (op == "k")
           gray = 0.299 * t[0] + 0.587 * t[1] + 0.114 * t[2];
       } else {
@@ -2879,8 +3146,8 @@ static int code_to_gid_cff(const Font& font, uint32_t code,
 }
 
 static void render_page(const PageData& page, double dpi, unsigned char* out,
-                        int W, int H) {
-  memset(out, 0xff, static_cast<long>(W) * H * 3);
+                        int W, int H, uint8_t bg = 0xff) {
+  memset(out, bg, static_cast<long>(W) * H * 3);
   InterpResult ir = ContentInterp::run(page);
   double s = dpi / 72.0;
   // Painting respects CONTENT ORDER across images/paths/rects (a figure
@@ -3014,10 +3281,33 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
               W - 1, static_cast<int>(floor(xs[i + 1].first - 0.5)));
           unsigned char* row = out + (static_cast<long>(py) * W) * 3;
           double a1 = std::max(0.0, std::min(1.0, fp.alpha));
+          const ImageXObject* pimg = fp.pattern.get();
           for (int x = xa; x <= xb; x++) {
+            double aa = a1;
+            const unsigned char* pc = col;
+            unsigned char pcol[3];
+            if (pimg) {
+              // Pattern paint: sample the tiled/shading raster (with its
+              // alpha) at this pixel's user-space position.
+              double ux = (x + 0.5) / s;
+              double uy = page.height_pts - (py + 0.5) / s;
+              double u = (ux - fp.pat_rect[0]) / fp.pat_rect[2];
+              double v = (uy - fp.pat_rect[1]) / fp.pat_rect[3];
+              if (u < 0 || u >= 1 || v < 0 || v >= 1) continue;
+              int ix = std::min(pimg->w - 1,
+                                static_cast<int>(u * pimg->w));
+              int iy = std::min(pimg->h - 1,
+                                static_cast<int>((1.0 - v) * pimg->h));
+              size_t si = static_cast<size_t>(iy) * pimg->w + ix;
+              aa = a1 * (pimg->alpha.empty() ? 1.0
+                                             : pimg->alpha[si] / 255.0);
+              if (aa < 0.004) continue;
+              for (int c = 0; c < 3; c++) pcol[c] = pimg->px[si * 3 + c];
+              pc = pcol;
+            }
             for (int c = 0; c < 3; c++) {
               double blended =
-                  row[x * 3 + c] * (1.0 - a1) + col[c] * a1;
+                  row[x * 3 + c] * (1.0 - aa) + pc[c] * aa;
               row[x * 3 + c] = static_cast<unsigned char>(
                   blended < 0 ? 0 : (blended > 255 ? 255 : blended));
             }
@@ -3031,11 +3321,15 @@ static void render_page(const PageData& page, double dpi, unsigned char* out,
     int y0 = std::max(0, static_cast<int>((page.height_pts - r.y - r.h) * s));
     int x1 = std::min(W, static_cast<int>((r.x + r.w) * s + 0.5));
     int y1 = std::min(H, static_cast<int>((page.height_pts - r.y) * s + 0.5));
-    unsigned char g = static_cast<unsigned char>(r.gray * 255);
+    unsigned char col[3];
+    for (int c = 0; c < 3; c++)
+      col[c] = static_cast<unsigned char>(
+          std::max(0.0, std::min(1.0, r.rgb[c] < 0 ? r.gray : r.rgb[c])) *
+          255);
     for (int y = y0; y < y1; y++) {
       unsigned char* row = out + (static_cast<long>(y) * W + x0) * 3;
       for (int x = x0; x < x1; x++) {
-        row[0] = g; row[1] = g; row[2] = g;
+        row[0] = col[0]; row[1] = col[1]; row[2] = col[2];
         row += 3;
       }
     }
