@@ -13,9 +13,11 @@
 // dominant organization of real scanned PDFs: arithmetic symbol
 // dictionaries (6.5) + text regions (6.4) with the Annex A integer/ID
 // decoders (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT/IAID), incl. dictionaries
-// shared via /JBIG2Globals.  Huffman-coded variants, refinement and
-// halftone regions are unsupported and fail gracefully -> caller leaves
-// the image blank.
+// shared via /JBIG2Globals; pattern dictionaries (6.7) + halftone
+// regions (6.6, arithmetic, Annex C gray-code planes); generic
+// refinement regions on the page (6.3, templates 0/1).  Huffman-coded
+// variants, TPGRON, MMR halftones and HENABLESKIP are unsupported and
+// fail gracefully -> caller leaves the image blank.
 // Validated in tests/test_raster_jbig2.py: the MMR fixture wraps PIL's own
 // G4 bitstream in JBIG2 segments; the arithmetic fixtures round-trip a
 // spec-written Python T.88 encoder against this decoder.
@@ -220,6 +222,52 @@ struct Page {
   // number — shared between the /JBIG2Globals stream (where producers put
   // dictionaries reused across pages) and the page's own stream.
   std::map<uint32_t, std::vector<Bitmap>> dicts;
+  // Pattern-dictionary segments (T.88 6.7) for halftone regions.
+  std::map<uint32_t, std::vector<Bitmap>> pats;
+};
+
+// Generic refinement region decoding (T.88 6.3): re-decode a bitmap with
+// a same-size reference (here: the page content being refined).  Context
+// bit order follows the deployed-decoder convention (coding-template
+// pixels MSB-first, then reference-template pixels, AT pixels appended to
+// each list — the pdf.js/jbig2dec layout of the spec's figures 12-14).
+class RefinementDecoder {
+ public:
+  static bool decode_with(jpx::MqDecoder* mq, std::vector<jpx::MqContext>* cx,
+                          int tmpl, const int8_t* at, const Bitmap& ref,
+                          int dx, int dy, Bitmap* bm) {
+    if (tmpl < 0 || tmpl > 1) return false;
+    for (int y = 0; y < bm->h; y++)
+      for (int x = 0; x < bm->w; x++) {
+        int ctx = context(*bm, ref, x, y, dx, dy, tmpl, at);
+        bm->set(x, y, static_cast<uint8_t>(mq->decode(&(*cx)[ctx])));
+      }
+    return true;
+  }
+
+ private:
+  static int context(const Bitmap& c, const Bitmap& r, int x, int y, int dx,
+                     int dy, int tmpl, const int8_t* at) {
+    auto C = [&](int ox, int oy) { return c.get(x + ox, y + oy); };
+    auto R = [&](int ox, int oy) {
+      return r.get(x - dx + ox, y - dy + oy);
+    };
+    int v = 0;
+    if (tmpl == 0) {
+      const int cod[4][2] = {{0, -1}, {1, -1}, {-1, 0}, {at[0], at[1]}};
+      const int rf[9][2] = {{0, -1}, {1, -1}, {-1, 0}, {0, 0}, {1, 0},
+                            {-1, 1}, {0, 1},  {1, 1},  {at[2], at[3]}};
+      for (auto& o : cod) v = (v << 1) | C(o[0], o[1]);
+      for (auto& o : rf) v = (v << 1) | R(o[0], o[1]);
+    } else {
+      const int cod[4][2] = {{-1, -1}, {0, -1}, {1, -1}, {-1, 0}};
+      const int rf[6][2] = {{0, -1}, {-1, 0}, {0, 0},
+                            {1, 0},  {0, 1},  {1, 1}};
+      for (auto& o : cod) v = (v << 1) | C(o[0], o[1]);
+      for (auto& o : rf) v = (v << 1) | R(o[0], o[1]);
+    }
+    return v;
+  }
 };
 
 // Composite `r` onto the page at (x0, y0) with the external combination
@@ -553,14 +601,191 @@ static bool decode_segments(const uint8_t* d, size_t n, Page* pg, int page_w,
       case 51:  // end of file
       case 62:  // extension
         break;
-      case 16:  // pattern dictionary
-      case 20:
-      case 22:
-      case 23:  // halftone regions
-      case 40:
-      case 42:
-      case 43:  // refinement regions
-        return false;  // content-bearing but unsupported
+      case 16: {  // pattern dictionary (T.88 6.7)
+        Reader pr{seg, seg_n};
+        uint32_t pflags = pr.u8();
+        bool hdmmr = pflags & 1;
+        int tmpl = (pflags >> 1) & 3;
+        uint32_t hdpw = pr.u8(), hdph = pr.u8();
+        uint32_t graymax = pr.u32();
+        if (!pr.ok || hdpw == 0 || hdph == 0 || hdpw > 127 ||
+            graymax > 65535)
+          return false;
+        uint32_t n_pats = graymax + 1;
+        long cw = static_cast<long>(n_pats) * hdpw;
+        if (cw * hdph > 64L * 1024 * 1024) return false;
+        // One collective bitmap; patterns are its vertical slices
+        // (T.88 6.7.5: AT1 = (-HDPW, 0)).
+        Bitmap coll;
+        coll.init(static_cast<int>(cw), static_cast<int>(hdph), 0);
+        const uint8_t* body = seg + pr.p;
+        size_t body_n = seg_n - pr.p;
+        if (hdmmr) {
+          std::string packed;
+          std::string in(reinterpret_cast<const char*>(body), body_n);
+          if (!ccitt::decode(in, -1, coll.w, coll.h, /*black_is_1=*/true,
+                             /*byte_align=*/false, &packed))
+            return false;
+          long row_bytes = (coll.w + 7) / 8;
+          for (int y = 0; y < coll.h; y++)
+            for (int x = 0; x < coll.w; x++)
+              coll.set(x, y,
+                       (static_cast<uint8_t>(packed[y * row_bytes + x / 8]) >>
+                        (7 - (x & 7))) & 1);
+        } else {
+          int8_t at[8] = {static_cast<int8_t>(-static_cast<int>(hdpw)), 0,
+                          -3, -1, 2, -2, -2, -2};
+          GenericDecoder gd;
+          if (!gd.decode(body, body_n, tmpl, false, at, &coll)) return false;
+        }
+        std::vector<Bitmap> pats(n_pats);
+        for (uint32_t i = 0; i < n_pats; i++) {
+          pats[i].init(static_cast<int>(hdpw), static_cast<int>(hdph), 0);
+          for (int y = 0; y < pats[i].h; y++)
+            for (int x = 0; x < pats[i].w; x++)
+              pats[i].set(x, y, coll.get(static_cast<int>(i * hdpw) + x, y));
+        }
+        pg->pats[seg_num] = std::move(pats);
+        break;
+      }
+      case 20:    // intermediate halftone region
+      case 22:    // immediate halftone region
+      case 23: {  // immediate lossless halftone region (T.88 6.6)
+        Reader hr{seg, seg_n};
+        uint32_t rw = hr.u32(), rh = hr.u32();
+        uint32_t rx = hr.u32(), ry = hr.u32();
+        int ext_op = hr.u8() & 7;
+        uint32_t hflags = hr.u8();
+        bool hmmr = hflags & 1;
+        int tmpl = (hflags >> 1) & 3;
+        bool enableskip = hflags & 8;
+        int comb_op = (hflags >> 4) & 7;
+        int def_pixel = (hflags >> 7) & 1;
+        uint32_t hgw = hr.u32(), hgh = hr.u32();
+        int32_t hgx = static_cast<int32_t>(hr.u32());
+        int32_t hgy = static_cast<int32_t>(hr.u32());
+        int32_t hrx = static_cast<int32_t>(hr.u16());
+        int32_t hry = static_cast<int32_t>(hr.u16());
+        if (!hr.ok || hmmr || enableskip) return false;  // MMR/skip: rare
+        if (rw == 0 || rh == 0 ||
+            static_cast<long>(rw) * rh > 64L * 1024 * 1024 ||
+            hgw == 0 || hgh == 0 ||
+            static_cast<long>(hgw) * hgh > 16L * 1024 * 1024)
+          return false;
+        std::vector<const Bitmap*> pats;
+        for (uint32_t r : refs) {
+          auto it = pg->pats.find(r);
+          if (it != pg->pats.end())
+            for (auto& b : it->second) pats.push_back(&b);
+        }
+        if (pats.empty()) return false;
+        int bpp = 1;
+        while ((size_t(1) << bpp) < pats.size()) bpp++;
+        // Gray-scale image decoding (Annex C): HBPP planes, most
+        // significant first, one MQ bitstream with shared contexts;
+        // plane J is XORed with plane J+1 as it lands (C.5).
+        jpx::MqDecoder mq;
+        mq.init(seg + hr.p, seg_n - hr.p);
+        std::vector<jpx::MqContext> gcx(1 << 16);
+        int8_t at[8] = {static_cast<int8_t>(tmpl <= 1 ? 3 : 2), -1,
+                        -3, -1, 2, -2, -2, -2};
+        std::vector<Bitmap> planes(bpp);
+        for (int j = bpp - 1; j >= 0; j--) {
+          planes[j].init(static_cast<int>(hgw), static_cast<int>(hgh), 0);
+          if (!GenericDecoder::decode_with(&mq, &gcx, tmpl, false, at,
+                                           &planes[j]))
+            return false;
+          if (j < bpp - 1)
+            for (size_t k = 0; k < planes[j].px.size(); k++)
+              planes[j].px[k] ^= planes[j + 1].px[k];
+        }
+        Bitmap region;
+        region.init(static_cast<int>(rw), static_cast<int>(rh),
+                    static_cast<uint8_t>(def_pixel));
+        auto draw = [&](const Bitmap& s, int x0, int y0) {
+          for (int y = 0; y < s.h; y++) {
+            int py = y0 + y;
+            if (py < 0 || py >= region.h) continue;
+            for (int x = 0; x < s.w; x++) {
+              int px = x0 + x;
+              if (px < 0 || px >= region.w) continue;
+              uint8_t sv = s.get(x, y), dv = region.get(px, py), v;
+              switch (comb_op) {
+                case 0: v = dv | sv; break;
+                case 1: v = dv & sv; break;
+                case 2: v = dv ^ sv; break;
+                case 3: v = (dv ^ sv) ^ 1; break;
+                default: v = sv; break;
+              }
+              region.set(px, py, v);
+            }
+          }
+        };
+        for (uint32_t m = 0; m < hgh; m++)
+          for (uint32_t ng = 0; ng < hgw; ng++) {
+            size_t g = 0;
+            for (int j = 0; j < bpp; j++)
+              g |= static_cast<size_t>(
+                       planes[j].get(static_cast<int>(ng),
+                                     static_cast<int>(m)))
+                   << j;
+            if (g >= pats.size()) g = pats.size() - 1;
+            // Grid placement (T.88 6.6.5.1, 8-bit fixed point).
+            int x = (hgx + static_cast<int32_t>(m) * hry +
+                     static_cast<int32_t>(ng) * hrx) >> 8;
+            int y = (hgy + static_cast<int32_t>(m) * hrx -
+                     static_cast<int32_t>(ng) * hry) >> 8;
+            draw(*pats[g], x, y);
+          }
+        if (!pg->inited) {
+          if (page_w <= 0 || page_h <= 0) return false;
+          pg->bm.init(page_w, page_h, 0);
+          pg->inited = true;
+        }
+        compose(pg, region, static_cast<int>(rx), static_cast<int>(ry),
+                ext_op);
+        break;
+      }
+      case 40:    // intermediate refinement region
+      case 42:    // immediate refinement region
+      case 43: {  // immediate lossless refinement region (T.88 6.3)
+        Reader rr{seg, seg_n};
+        uint32_t rw = rr.u32(), rh = rr.u32();
+        uint32_t rx = rr.u32(), ry = rr.u32();
+        rr.u8();  // external op (refinement onto the page replaces)
+        uint32_t rfl = rr.u8();
+        int tmpl = rfl & 1;
+        bool tpgron = rfl & 2;
+        int8_t at[4] = {0};
+        if (tmpl == 0)
+          for (int i = 0; i < 4; i++) at[i] = static_cast<int8_t>(rr.u8());
+        if (!rr.ok || tpgron) return false;  // TPGRON: not produced in PDFs
+        if (rw == 0 || rh == 0 ||
+            static_cast<long>(rw) * rh > 64L * 1024 * 1024)
+          return false;
+        if (!pg->inited) return false;  // refines existing page content
+        // Reference = the page region being refined (T.88 6.3.2: a
+        // refinement region with no referred intermediate region refines
+        // the page's current content at its own location).
+        Bitmap ref;
+        ref.init(static_cast<int>(rw), static_cast<int>(rh), 0);
+        for (int y = 0; y < ref.h; y++)
+          for (int x = 0; x < ref.w; x++)
+            ref.set(x, y,
+                    pg->bm.get(static_cast<int>(rx) + x,
+                               static_cast<int>(ry) + y));
+        Bitmap outb;
+        outb.init(static_cast<int>(rw), static_cast<int>(rh), 0);
+        jpx::MqDecoder mq;
+        mq.init(seg + rr.p, seg_n - rr.p);
+        std::vector<jpx::MqContext> cx(1 << 13);
+        if (!RefinementDecoder::decode_with(&mq, &cx, tmpl, at, ref, 0, 0,
+                                            &outb))
+          return false;
+        compose(pg, outb, static_cast<int>(rx), static_cast<int>(ry),
+                4 /*REPLACE*/);
+        break;
+      }
       default:
         break;  // tables/extensions: ignore
     }
