@@ -1027,6 +1027,93 @@ class Document {
     return o;
   }
 
+  // Annotation appearance streams (ISO 32000 12.5.5): form-field
+  // widgets, stamps, free text, ink — Poppler renders these for the
+  // reference (reference backend/app/pipeline/pdf_extract.py:107-122;
+  // filled-form PDFs keep their field values in /AP streams, not the page
+  // content).  Each visible annotation's normal appearance becomes a form
+  // XObject appended to the page content with the Algorithm-8.1 placement
+  // (BBox through /Matrix, fitted to /Rect).
+  void load_annotations(const ObjPtr& page_node, PageData* pd) {
+    ObjPtr annots = resolve(get(page_node, "Annots"));
+    if (!annots->is(Obj::kArray)) return;
+    int k = 0;
+    for (auto& aref : annots->arr) {
+      ObjPtr a = resolve(aref);
+      if (!a->is(Obj::kDict) && !a->is(Obj::kStream)) continue;
+      ObjPtr sub = resolve(get(a, "Subtype"));
+      if (sub->is(Obj::kName) &&
+          (sub->str == "Link" || sub->str == "Popup"))
+        continue;  // no visual content
+      int flags = static_cast<int>(resolve(get(a, "F"))->as_num(0));
+      if (flags & 2 || flags & 32) continue;  // Hidden / NoView
+      ObjPtr rect = resolve(get(a, "Rect"));
+      if (!rect->is(Obj::kArray) || rect->arr.size() < 4) continue;
+      double rx0 = resolve(rect->arr[0])->as_num(0);
+      double ry0 = resolve(rect->arr[1])->as_num(0);
+      double rx1 = resolve(rect->arr[2])->as_num(0);
+      double ry1 = resolve(rect->arr[3])->as_num(0);
+      if (rx1 < rx0) std::swap(rx0, rx1);
+      if (ry1 < ry0) std::swap(ry0, ry1);
+      ObjPtr ap = resolve(get(a, "AP"));
+      if (!ap->is(Obj::kDict)) continue;
+      ObjPtr normal = resolve(get(ap, "N"));
+      if (normal->is(Obj::kDict) && !normal->is(Obj::kStream)) {
+        // State dictionary: pick the /AS state, else the first entry.
+        ObjPtr as = resolve(get(a, "AS"));
+        ObjPtr pick = make_null();
+        if (as->is(Obj::kName)) pick = resolve(get(normal, as->str));
+        if (!pick->is(Obj::kStream) && !normal->dict.empty())
+          pick = resolve(normal->dict.begin()->second);
+        normal = pick;
+      }
+      if (!normal->is(Obj::kStream)) continue;
+      ObjPtr bb = resolve(get(normal, "BBox"));
+      if (!bb->is(Obj::kArray) || bb->arr.size() < 4) continue;
+      double b[4];
+      for (int i = 0; i < 4; i++) b[i] = resolve(bb->arr[i])->as_num(0);
+      FormXObject form;
+      ObjPtr m = resolve(get(normal, "Matrix"));
+      if (m->is(Obj::kArray) && m->arr.size() >= 6)
+        for (int i = 0; i < 6; i++)
+          form.matrix[i] = resolve(m->arr[i])->as_num(i % 3 == 0 ? 1 : 0);
+      // Algorithm 8.1: BBox corners through Matrix -> bounds; scale +
+      // translate those bounds onto Rect.
+      double tx0 = 1e18, ty0 = 1e18, tx1 = -1e18, ty1 = -1e18;
+      const double cxs[4] = {b[0], b[2], b[0], b[2]};
+      const double cys[4] = {b[1], b[1], b[3], b[3]};
+      for (int i = 0; i < 4; i++) {
+        double ox = cxs[i] * form.matrix[0] + cys[i] * form.matrix[2] +
+                    form.matrix[4];
+        double oy = cxs[i] * form.matrix[1] + cys[i] * form.matrix[3] +
+                    form.matrix[5];
+        tx0 = std::min(tx0, ox); tx1 = std::max(tx1, ox);
+        ty0 = std::min(ty0, oy); ty1 = std::max(ty1, oy);
+      }
+      double sx = tx1 - tx0 > 1e-9 ? (rx1 - rx0) / (tx1 - tx0) : 1.0;
+      double sy = ty1 - ty0 > 1e-9 ? (ry1 - ry0) / (ty1 - ty0) : 1.0;
+      double ex = rx0 - tx0 * sx, ey = ry0 - ty0 * sy;
+      form.sub = std::make_shared<PageData>();
+      form.sub->width_pts = pd->width_pts;
+      form.sub->height_pts = pd->height_pts;
+      form.sub->content = decode_stream(normal);
+      ObjPtr fres = resolve(get(normal, "Resources"));
+      load_fonts(fres, form.sub.get());
+      load_xobjects(fres, form.sub.get());
+      load_shadings(fres, form.sub.get());
+      load_extgstate(fres, form.sub.get());
+      load_colorspaces(fres, form.sub.get());
+      load_patterns(fres, form.sub.get(), 1);
+      if (form.sub->content.empty()) continue;
+      std::string name = "__annot" + std::to_string(k++);
+      pd->forms[name] = std::move(form);
+      char buf[160];
+      snprintf(buf, sizeof(buf), "\nq %g 0 0 %g %g %g cm /%s Do Q\n", sx,
+               sy, ex, ey, name.c_str());
+      pd->content += buf;
+    }
+  }
+
   void collect_pages(const ObjPtr& node, ObjPtr inherited_mediabox,
                      ObjPtr inherited_resources, int depth = 0) {
     if (depth > 64) return;
@@ -1067,6 +1154,7 @@ class Document {
       load_extgstate(resolve(resources), &pd);
       load_colorspaces(resolve(resources), &pd);
       load_patterns(resolve(resources), &pd);
+      load_annotations(n, &pd);
       pages_.push_back(std::move(pd));
       return;
     }
