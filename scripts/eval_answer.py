@@ -68,8 +68,24 @@ def _eval_agg(runner, rng, n_examples: int, sentence_pool=None) -> dict:
         _synthetic_agg_qa_example,
     )
 
-    lm_ok = ex_ok = 0
-    lm_cited = 0.0
+    from vision_compression_project_tpu.pipeline.aggregate import (
+        try_analytic_answer,
+    )
+
+    def _pack_results(evidence_pack):
+        results = []
+        for section in evidence_pack.split("\n\n---\n\n"):
+            header, _, content = section.partition("\n")
+            m = re.match(r"\[Page (\d+) \| memory_id=(\S+)\]", header)
+            if m:
+                results.append({
+                    "id": m.group(2), "content": content,
+                    "metadata": {"page": int(m.group(1))},
+                })
+        return results
+
+    lm_ok = ex_ok = an_ok = auto_ok = 0
+    lm_cited = auto_cited = 0.0
     sample = None
     for _ in range(n_examples):
         q, ev, teacher, facts = _synthetic_agg_qa_example(
@@ -77,29 +93,41 @@ def _eval_agg(runner, rng, n_examples: int, sentence_pool=None) -> dict:
         )
         got = runner.answer(q, ev).strip()
         extractive = _extractive_answer_for_pack(q, ev)
+        analytic = try_analytic_answer(q, _pack_results(ev), None, "doc", 1500)
+        served = analytic if analytic is not None else got  # engine 'auto'
         lm_ok += _agg_keyfact_ok(got, facts)
         ex_ok += _agg_keyfact_ok(extractive, facts)
+        an_ok += analytic is not None and _agg_keyfact_ok(analytic, facts)
+        auto_ok += _agg_keyfact_ok(served, facts)
         need = facts["cited"]
         lm_cited += sum(f"p.{p}" in got for p in need) / len(need)
+        auto_cited += sum(f"p.{p}" in served for p in need) / len(need)
         if sample is None:
-            sample = (q, teacher, got, extractive)
+            sample = (q, teacher, got, extractive, analytic)
     print(
         f"aggregation key-fact accuracy over {n_examples} fresh examples:\n"
-        f"  lm (generative):      {lm_ok}/{n_examples}\n"
-        f"  extractive baseline:  {ex_ok}/{n_examples}\n"
-        f"  lm citation coverage: {lm_cited / n_examples:.2f}"
+        f"  auto (SERVED: analytic->lm): {auto_ok}/{n_examples}\n"
+        f"  analytic (deterministic):    {an_ok}/{n_examples}\n"
+        f"  lm (generative):             {lm_ok}/{n_examples}\n"
+        f"  extractive baseline:         {ex_ok}/{n_examples}\n"
+        f"  lm citation coverage:  {lm_cited / n_examples:.2f}\n"
+        f"  auto citation coverage: {auto_cited / n_examples:.2f}"
     )
-    q, t, g, e = sample
+    q, t, g, e, a = sample
     print(f"\nsample question: {q}")
     print(f"teacher:    {t!r}")
+    print(f"analytic:   {a!r}")
     print(f"lm:         {g!r}")
     print(f"extractive: {e!r}")
     return {
         "task": "agg",
         "examples": n_examples,
+        "auto_keyfact_accuracy": auto_ok / n_examples,
+        "analytic_keyfact_accuracy": an_ok / n_examples,
         "lm_keyfact_accuracy": lm_ok / n_examples,
         "extractive_keyfact_accuracy": ex_ok / n_examples,
         "lm_citation_coverage": lm_cited / n_examples,
+        "auto_citation_coverage": auto_cited / n_examples,
     }
 
 

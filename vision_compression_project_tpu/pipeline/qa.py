@@ -11,9 +11,12 @@ mandatory inline citations '(doc_id p.N)' (qa.py:191-204), and 250-char
 excerpts (qa.py:283-296).
 
 Retrieval is one masked-matmul top-k on device (no HTTPS, no over-fetch).
-Answering has two engines: 'extractive' (deterministic — evidence sentences
+Answering has three engines: 'analytic' (deterministic aggregation —
+counts/totals/superlatives computed from extracted facts,
+pipeline/aggregate.py), 'extractive' (deterministic — evidence sentences
 ranked by embedding similarity, composed into cited markdown; exact
-citations by construction) and 'lm' (the on-mesh decoder).  'auto' resolves
+citations by construction) and 'lm' (the on-mesh decoder).  'auto' tries
+analytic first for aggregation-shaped questions, then resolves
 to 'lm' when the serving checkpoint declares answer-task training in its
 meta (scripts/ship_checkpoint.py --tasks) — generation is the default the
 reference had (qa.py:189-217, an 8192-token Gemini pass) — and falls back
@@ -291,8 +294,10 @@ def answer_question(
 
         store = get_default_store(dim=embedder.dim)
     engine = engine or RUNTIME.answer_engine
-    if engine == "auto":
-        engine = "lm" if lm_answer_available() else "extractive"
+    # 'auto' resolves AFTER retrieval: aggregation-shaped questions go to
+    # the deterministic analytic engine first (strictly more reliable than
+    # generation on computable claims — pipeline/aggregate.py), then the
+    # trained LM, then extraction.
 
     manifest = None
     if manifest_path and Path(manifest_path).exists():
@@ -319,7 +324,21 @@ def answer_question(
     if not evidence_pack:
         return {"answer_md": NOT_FOUND, "retrieved": []}
 
-    if engine == "lm":
+    answer_md = None
+    if engine in ("auto", "analytic"):
+        from .aggregate import try_analytic_answer
+
+        answer_md = try_analytic_answer(
+            question, results, manifest, doc_id, max_chars_per_page
+        )
+        if answer_md is None:
+            engine = (
+                "lm" if engine == "auto" and lm_answer_available()
+                else "extractive"
+            )
+    if answer_md is not None:
+        pass
+    elif engine == "lm":
         if runner is None:
             runner = _get_answer_runner()
         answer_md = runner.answer(question, evidence_pack)
