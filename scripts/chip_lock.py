@@ -35,7 +35,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-LOCK = REPO / "checkpoints" / "chip.lock"
+# VCP_CHIP_LOCK overrides the lock path (tests use a tmp file so they
+# never clobber a live pilot's lock).
+LOCK = Path(os.environ.get("VCP_CHIP_LOCK", REPO / "checkpoints" / "chip.lock"))
 
 
 def _pid_alive(pid: int) -> bool:
