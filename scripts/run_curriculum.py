@@ -197,12 +197,18 @@ def main():
             print(f"stage {stage['name']}_e{ext}: training already "
                   "complete; re-running eval only")
         else:
+            # Extensions anneal the peak lr (0.7^ext): re-running a stage
+            # at full peak re-raises the Adam noise floor the previous
+            # run's cosine already worked down (round-5 readA0: loss
+            # converged teacher-forced at constant peak while generation
+            # stayed misaligned).
+            ext_lr = round(stage["lr"] * (0.7 ** ext), 8)
             cmd = [
                 "scripts/train_vlm.py", "--preset", args.preset,
                 "--data", stage.get("kind", "real"),
                 "--jumble_frac", stage.get("jumble_frac", 0.0),
                 "--steps", steps, "--batch", args.batch,
-                "--lr", stage["lr"], "--font_size", stage["font_size"],
+                "--lr", ext_lr, "--font_size", stage["font_size"],
                 "--lines", stage["lines"], "--dpi", stage["dpi"],
                 "--fonts", stage.get("fonts", "builtin"),
                 "--vocab_cap", stage.get("vocab_cap", 0),

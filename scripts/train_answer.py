@@ -59,6 +59,7 @@ def main():
         synthetic_batches,
     )
     from vision_compression_project_tpu.train.train_step import (
+        cosine_lr,
         make_jitted_train_step,
         make_train_state,
     )
@@ -66,7 +67,8 @@ def main():
     cfg = get_preset(args.preset)
     mesh = local_mesh()  # honors VCP_MESH_*
     print(f"mesh: {dict(mesh.shape)} devices={len(jax.devices())}")
-    model, tx, state, shardings = make_train_state(cfg, mesh, lr=args.lr)
+    schedule = cosine_lr(args.lr, args.steps)
+    model, tx, state, shardings = make_train_state(cfg, mesh, lr=schedule)
     if args.init_from:
         from vision_compression_project_tpu.train.checkpoint import load_runner
 

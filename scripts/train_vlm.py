@@ -79,6 +79,7 @@ def main():
         synthetic_batches,
     )
     from vision_compression_project_tpu.train.train_step import (
+        cosine_lr,
         make_jitted_train_step,
         make_train_state,
     )
@@ -86,7 +87,11 @@ def main():
     cfg = get_preset(args.preset)
     mesh = local_mesh()  # honors VCP_MESH_* (e.g. VCP_MESH_MODEL for PP/TP)
     print(f"mesh: {dict(mesh.shape)} devices={len(jax.devices())}")
-    model, tx, state, shardings = make_train_state(cfg, mesh, lr=args.lr)
+    # Warmup-cosine to 10% of peak: constant peak lr leaves the late-run
+    # Adam noise floor high — teacher-forced loss converges but greedy
+    # generation stays misaligned (round-5 readA0 measurement).
+    schedule = cosine_lr(args.lr, args.steps)
+    model, tx, state, shardings = make_train_state(cfg, mesh, lr=schedule)
     if args.init_from:
         from vision_compression_project_tpu.train.checkpoint import load_runner
 
