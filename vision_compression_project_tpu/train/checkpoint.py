@@ -26,7 +26,7 @@ def complete_steps(ckpt_dir, prefix: str = "step") -> list[Path]:
     `<prefix>_<digits>` names count.
     """
     ckpt_dir = Path(ckpt_dir)
-    if not ckpt_dir.exists():
+    if not ckpt_dir.is_dir():  # missing, or a stray file matching a glob
         return []
     pat = re.compile(rf"{prefix}_\d+")
     return sorted(
