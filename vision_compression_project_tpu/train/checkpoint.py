@@ -107,15 +107,27 @@ def load_runner(cfg, ckpt_dir, **runner_kwargs):
         return runner
     if latest_checkpoint(ckpt_dir) is None:
         return runner
-    tx = make_optimizer()
-    abstract = TrainState(
-        params=jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), runner.params
-        ),
-        opt_state=jax.eval_shape(tx.init, runner.params),
-        step=jax.ShapeDtypeStruct((), "int32"),
+    abstract_params = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), runner.params
     )
-    restored = restore_checkpoint(ckpt_dir, abstract)
-    if restored is not None:
-        runner.params = restored.params
-    return runner
+    # TrainState checkpoints differ in opt_state tree shape depending on
+    # whether the run used a constant lr (EmptyState) or an lr schedule
+    # (ScaleByScheduleState) — round-5 cosine runs added the latter.  Try
+    # both templates; only params are kept either way.
+    last_err = None
+    for lr in (3e-4, lambda _step: 3e-4):
+        tx = make_optimizer(lr)
+        abstract = TrainState(
+            params=abstract_params,
+            opt_state=jax.eval_shape(tx.init, runner.params),
+            step=jax.ShapeDtypeStruct((), "int32"),
+        )
+        try:
+            restored = restore_checkpoint(ckpt_dir, abstract)
+        except ValueError as e:  # opt_state tree mismatch: other layout
+            last_err = e
+            continue
+        if restored is not None:
+            runner.params = restored.params
+        return runner
+    raise last_err
