@@ -135,6 +135,11 @@ def main():
         "the stage gate measures reading on the same inventory",
     )
     parser.add_argument(
+        "--jumble_plain", type=int, default=0,
+        help="1: plain jumble pages (no templates/bullets/blank lines); "
+        "must match the training distribution",
+    )
+    parser.add_argument(
         "--chunk", type=int, default=4,
         help="device sub-batch size; each chunk prints a flushed progress "
         "line so supervisor staleness watchdogs see a heartbeat instead "
@@ -178,6 +183,7 @@ def main():
             jumble_page_text(
                 rng, lines=args.lines, font_size=args.font_size,
                 font=fonts[page_fonts[i]], vocab_cap=args.vocab_cap,
+                plain=bool(args.jumble_plain),
             )
             for i in range(args.pages)
         ]

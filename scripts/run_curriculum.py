@@ -54,15 +54,23 @@ DEFAULT_STAGES = [
     # ~14.4k inventory, 7500 steps left loss stuck ~1.19 with generation
     # at 0.23 similarity — word-identity entropy ~9.6 nats starves the
     # reading gradient; the round-2 dive happened on a tiny vocabulary);
+    # plain: strip Value templates/bullets/blank lines so every token of
+    # the dive carries reading signal (round-5 readA0 measurement: with
+    # templates on, teacher-forced loss converged to ~0.54 while greedy
+    # generation collapsed into template loops at similarity 0.21);
     # advance_at: per-stage gate override (global --advance_at otherwise).
+    {"name": "readA00", "font_size": 48, "lines": 6, "dpi": 93,
+     "steps": 1500, "max_steps": 6000, "lr": 7e-4, "text_len": 255,
+     "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
+     "vocab_cap": 32, "plain": True, "advance_at": 0.8, "ship": False},
     {"name": "readA0", "font_size": 48, "lines": 6, "dpi": 93,
-     "steps": 2000, "max_steps": 8000, "lr": 1e-3, "text_len": 255,
+     "steps": 2000, "max_steps": 8000, "lr": 7e-4, "text_len": 255,
      "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
-     "vocab_cap": 128, "advance_at": 0.75, "ship": False},
+     "vocab_cap": 128, "plain": True, "advance_at": 0.75, "ship": False},
     {"name": "readA1", "font_size": 48, "lines": 6, "dpi": 93,
-     "steps": 2000, "max_steps": 8000, "lr": 8e-4, "text_len": 255,
+     "steps": 2000, "max_steps": 8000, "lr": 6e-4, "text_len": 255,
      "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
-     "vocab_cap": 1024, "advance_at": 0.7, "ship": False},
+     "vocab_cap": 1024, "plain": True, "advance_at": 0.7, "ship": False},
     {"name": "readA", "font_size": 48, "lines": 6, "dpi": 93,
      "steps": 2500, "max_steps": 12500, "lr": 8e-4, "text_len": 255,
      "kind": "jumble", "jumble_frac": 0.0, "eval_data": "jumble",
@@ -117,6 +125,7 @@ def _eval_similarity(preset, ckpt_dir, stage, pages, dry):
          "--font_size", stage["font_size"], "--lines", stage["lines"],
          "--fonts", stage.get("fonts", "builtin"),
          "--vocab_cap", stage.get("vocab_cap", 0),
+         "--jumble_plain", int(stage.get("plain", False)),
          # Decode budget must cover the stage's full target length: dense
          # stages (30 lines of prose) are ~1000 BPE tokens of markdown, so
          # the eval_extract default (256) would truncate every output and
@@ -212,6 +221,7 @@ def main():
                 "--lines", stage["lines"], "--dpi", stage["dpi"],
                 "--fonts", stage.get("fonts", "builtin"),
                 "--vocab_cap", stage.get("vocab_cap", 0),
+                "--jumble_plain", int(stage.get("plain", False)),
                 "--text_len", stage["text_len"],
                 "--seed", args.seed + state["stage"] * 101 + ext,
                 "--ckpt_dir", ckpt_dir, "--ckpt_every", 500,

@@ -50,6 +50,12 @@ def main():
         "read-dive ramp — small caps (128/1024) concentrate the reading "
         "gradient so the vision circuit forms, later stages widen",
     )
+    parser.add_argument(
+        "--jumble_plain", type=int, default=0,
+        help="1: strip structural extras (Value templates, bullets, blank "
+        "lines) from jumble pages — dive stages get dense reading signal "
+        "and no generation attractor",
+    )
     parser.add_argument("--code_groups", type=int, default=3)
     parser.add_argument("--code_digits", type=int, default=5)
     parser.add_argument("--ckpt_dir", default="checkpoints/vlm")
@@ -126,7 +132,7 @@ def main():
             kind=args.data, code_groups=args.code_groups,
             code_digits=args.code_digits, jumble_frac=args.jumble_frac,
             fonts=[f.strip() for f in args.fonts.split(",") if f.strip()],
-            vocab_cap=args.vocab_cap,
+            vocab_cap=args.vocab_cap, jumble_plain=bool(args.jumble_plain),
         )
     )
     t_start = time.time()

@@ -114,12 +114,13 @@ def test_curriculum_driver_dry_run(tmp_path):
     state = json.loads((tmp_path / "curr" / "curriculum.json").read_text())
     assert state["status"] == "complete"
     assert [h["stage"] for h in state["history"]] == [
-        "readA0", "readA1", "readA", "readB", "mixC", "denseD", "fontsE",
+        "readA00", "readA0", "readA1", "readA", "readB", "mixC", "denseD",
+        "fontsE",
     ]
     # Warm-start chain: each stage's ckpt dir carries its own stage name,
     # and the driver threads init_from through the history order.
-    assert "readA1_e0" in state["history"][1]["ckpt"]
-    assert "readB_e0" in state["history"][3]["ckpt"]
+    assert "readA1_e0" in state["history"][2]["ckpt"]
+    assert "readB_e0" in state["history"][4]["ckpt"]
     # Resume on a complete state is a no-op that still reports shipping.
     out2 = _run(
         [

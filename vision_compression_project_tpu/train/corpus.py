@@ -259,8 +259,15 @@ def jumble_page_text(
     title_words: int = 3,
     font: str = "builtin",
     vocab_cap: int = 0,
+    plain: bool = False,
 ) -> str:
     """A page of INDEPENDENTLY random corpus words — unmemorizable content.
+
+    plain=True strips the structural extras (Value-template sentences,
+    bullet lines, blank lines): every token then carries reading signal,
+    and greedy generation has no high-prior template to collapse into
+    (round-5 readA0 measurement: with templates on, a marginal reader
+    free-runs into 'Value a.b of c in year.' loops).
 
     The diagnosis this exists for (round 3): training pages of consecutive
     corpus sentences let the decoder reach low loss by memorizing the 18k-
@@ -290,13 +297,13 @@ def jumble_page_text(
     out_lines: List[str] = []
     while len(out_lines) < lines:
         budget = lines - len(out_lines)
-        if rng.random() < 0.12:
+        if not plain and rng.random() < 0.12:
             sent = "Value {a}.{b} of {c} in {year}.".format(
                 a=int(rng.integers(1, 100)), b=int(rng.integers(0, 10)),
                 c=int(rng.integers(1, 1000)), year=int(rng.integers(1990, 2027)),
             )
             out_lines.extend(wrap(sent.split())[:budget])
-        elif budget >= 3 and rng.random() < 0.15:
+        elif not plain and budget >= 3 and rng.random() < 0.15:
             for _ in range(int(rng.integers(2, min(5, budget) + 1))):
                 item = " ".join(rand_words(max(3, width // 8)))
                 out_lines.append(_clip_line("- " + item, width, font, wrap))
@@ -310,10 +317,10 @@ def jumble_page_text(
                 ws[-1] += "."
                 words += ws
             out_lines.extend(wrap(words)[:budget])
-        if len(out_lines) < lines - 1 and rng.random() < 0.35:
+        if not plain and len(out_lines) < lines - 1 and rng.random() < 0.35:
             out_lines.append("")
     body = "\n".join(out_lines[:lines])
-    sep = "\n\n" if rng.random() < 0.5 else "\n"
+    sep = "\n" if plain else ("\n\n" if rng.random() < 0.5 else "\n")
     return title + sep + body
 
 

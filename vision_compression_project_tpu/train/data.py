@@ -109,6 +109,7 @@ def synthetic_batches(
     jumble_frac: float = 0.0,
     fonts: Optional[List[str]] = None,
     vocab_cap: int = 0,
+    jumble_plain: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"pages_u8": (B,H,W,3), "token_ids": (B,text_len)} forever.
 
@@ -153,7 +154,8 @@ def synthetic_batches(
         from .corpus import jumble_page_text
 
         gen = _ft.partial(
-            jumble_page_text, font_size=font_size, vocab_cap=vocab_cap
+            jumble_page_text, font_size=font_size, vocab_cap=vocab_cap,
+            plain=jumble_plain,
         )
     else:
         gen = synthetic_page_text
@@ -162,7 +164,8 @@ def synthetic_batches(
         from .corpus import jumble_page_text
 
         mix_gen = _ft.partial(
-            jumble_page_text, font_size=font_size, vocab_cap=vocab_cap
+            jumble_page_text, font_size=font_size, vocab_cap=vocab_cap,
+            plain=jumble_plain,
         )
     fonts = list(fonts or ["builtin"])
     while True:
