@@ -77,12 +77,14 @@ def main() -> int:
     runner = load_runner(cfg, str(src.resolve()))
     dest = out / tag
     path = save_params(dest, runner.params, step=step_n)
-    # drop older exports: one resume seed is enough, git history keeps
-    # the rest if ever needed
+    # drop older CURRICULUM exports (stage_eN dirs): one resume seed is
+    # enough, git history keeps the rest.  Non-stage exports (e.g. the
+    # rescued bpe_boost weights) are not ours to prune.
+    import re as _re
     import shutil
 
     for p in out.iterdir():
-        if p.is_dir() and p != dest:
+        if p.is_dir() and p != dest and _re.fullmatch(r".+_e\d+", p.name):
             shutil.rmtree(p)
     marker.write_text(
         json.dumps(
