@@ -54,8 +54,8 @@ VCP_BENCH_{LINES,FONT_SIZE,DPI,DATA}.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Supervisor knobs: VCP_BENCH_TOTAL_TIMEOUT (s, default 500),
-VCP_BENCH_STALL (s, default 240), VCP_BENCH_NO_PREEMPT=1,
+Supervisor knobs: VCP_BENCH_TOTAL_TIMEOUT (s, default 540),
+VCP_BENCH_STALL (s, default 330), VCP_BENCH_NO_PREEMPT=1,
 VCP_PROBE_CMD (probe override, for tests).
 """
 
@@ -123,8 +123,8 @@ def _probe_once(timeout_s: float) -> bool:
 
 def _supervise() -> None:
     t0 = time.time()
-    total = float(os.environ.get("VCP_BENCH_TOTAL_TIMEOUT", 500))
-    stall_limit = float(os.environ.get("VCP_BENCH_STALL", 240))
+    total = float(os.environ.get("VCP_BENCH_TOTAL_TIMEOUT", 540))
+    stall_limit = float(os.environ.get("VCP_BENCH_STALL", 330))
     left = lambda: total - (time.time() - t0)  # noqa: E731
 
     preempted = None
