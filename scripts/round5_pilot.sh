@@ -122,6 +122,41 @@ export_stages() {
       checkpoints/r4_export
 }
 
+# ---------------- phase: shipped-checkpoint gate evidence ----------------
+# VERDICT r4 item 3: every number quoted in README/PARITY needs an IN-TREE
+# artifact.  Re-measure the SHIPPED ocr_bpe weights (not the unshipped r4
+# boost) on the chip and land the eval JSONs in tracked
+# checkpoints/default/ocr_bpe/gate/.  ~10 min of chip, marker-gated, and
+# only marked done when each eval exited 0 AND wrote its JSON (ADVICE r4).
+SHIP=checkpoints/default/ocr_bpe
+if [ ! -f "$R5/evidence.done" ] && [ -d "$SHIP" ]; then
+  mkdir -p "$SHIP/gate"
+  wait_tpu
+  watched 900 "$R5/evidence_extract.log" "$R5" \
+    python scripts/eval_extract.py --preset ocr_bpe --ckpt_dir "$SHIP" \
+    --data words --font_size 24 --dpi 46 --lines 6 --pages 16 \
+    --max_new 512 --json_out "$SHIP/gate/extract_eval.json"
+  rc1=$?
+  wait_tpu
+  watched 900 "$R5/evidence_answer.log" "$R5" \
+    python scripts/eval_answer.py --preset ocr_bpe --ckpt_dir "$SHIP" \
+    --task agg --data real --examples 16 \
+    --json_out "$SHIP/gate/agg_real_eval.json"
+  rc2=$?
+  wait_tpu
+  watched 900 "$R5/evidence_imitate.log" "$R5" \
+    python scripts/eval_answer.py --preset ocr_bpe --ckpt_dir "$SHIP" \
+    --task imitate --data real --examples 16 \
+    --json_out "$SHIP/gate/imitate_real_eval.json" || true
+  if [ "$rc1" -eq 0 ] && [ -f "$SHIP/gate/extract_eval.json" ] &&
+    [ "$rc2" -eq 0 ] && [ -f "$SHIP/gate/agg_real_eval.json" ]; then
+    git_commit "gate evidence: shipped ocr_bpe re-measured on-chip" "$SHIP/gate"
+    touch "$R5/evidence.done"
+  else
+    say "evidence evals incomplete (rc $rc1/$rc2); retry next pilot run"
+  fi
+fi
+
 # ---------------- phase: curriculum ----------------
 DEADLINE=${DEADLINE:-$(($(date +%s) + 8 * 3600))}
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
