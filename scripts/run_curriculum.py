@@ -83,10 +83,15 @@ DEFAULT_STAGES = [
      "steps": 2500, "max_steps": 10000, "lr": 8e-4, "text_len": 511,
      "kind": "real", "jumble_frac": 0.5, "eval_data": "real",
      "ship": True},
+    # Dense stages run SHORT per-process chunks: a host-side leak
+    # proportional to bytes transferred (dmesg-confirmed 130 GB OOM kill
+    # at ~1900 dense-render steps) bounds how long one trainer process
+    # may live; 800-step extensions keep RSS well under the box.
+    # lr_decay 0.9 softens the per-extension anneal accordingly.
     {"name": "denseD", "font_size": 12, "lines": 30, "dpi": 150,
-     "steps": 3000, "max_steps": 12000, "lr": 6e-4, "text_len": 1023,
-     "kind": "real", "jumble_frac": 0.25, "eval_data": "real",
-     "ship": True},
+     "steps": 800, "max_steps": 12000, "lr": 6e-4, "lr_decay": 0.9,
+     "text_len": 1023, "kind": "real", "jumble_frac": 0.25,
+     "eval_data": "real", "ship": True},
     # Font diversity: the preceding stages read the builtin atlas font;
     # real documents use real typefaces.  Rotating embedded DejaVu faces
     # (serif/sans/mono/bold — pdfgen FontFile2 embedding) per page pushes
@@ -94,8 +99,9 @@ DEFAULT_STAGES = [
     # render; ships with its font list in meta so bench.py rotates the
     # same mix.
     {"name": "fontsE", "font_size": 12, "lines": 30, "dpi": 150,
-     "steps": 3000, "max_steps": 12000, "lr": 5e-4, "text_len": 1023,
-     "kind": "real", "jumble_frac": 0.25, "eval_data": "real",
+     "steps": 800, "max_steps": 12000, "lr": 5e-4, "lr_decay": 0.9,
+     "text_len": 1023, "kind": "real", "jumble_frac": 0.25,
+     "eval_data": "real",
      "fonts": "builtin,dejavu_sans,dejavu_serif,dejavu_mono,"
               "dejavu_sans_bold",
      "ship": True},
@@ -211,7 +217,7 @@ def main():
             # run's cosine already worked down (round-5 readA0: loss
             # converged teacher-forced at constant peak while generation
             # stayed misaligned).
-            ext_lr = round(stage["lr"] * (0.7 ** ext), 8)
+            ext_lr = round(stage["lr"] * (stage.get("lr_decay", 0.7) ** ext), 8)
             cmd = [
                 "scripts/train_vlm.py", "--preset", args.preset,
                 "--data", stage.get("kind", "real"),
